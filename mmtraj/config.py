@@ -1,0 +1,150 @@
+"""Configuration dataclasses + the BASELINE capability-ladder presets.
+
+The judged capability ladder is BASELINE.json:6-12 (configs 1-5); each preset
+below cites the line it implements.  The reference repo uses argparse flags
+(SURVEY.md §2.4 [K]); here the equivalent is typed dataclasses with CLI
+overrides (mmtraj/cli.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+SCENES = ("eth", "hotel", "univ", "zara1", "zara2")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for the forecaster family.
+
+    A single configurable model covers the reference's variants
+    (SURVEY.md §2.3): ``social=False, cell='lstm', head='deterministic'`` is
+    the plain LSTM encoder-decoder (BASELINE.json:7); ``social=True`` adds the
+    proximity-graph GAT encoder (BASELINE.json:8); ``head='gmm'`` adds the
+    bivariate-Gaussian-mixture multimodal head (BASELINE.json:9);
+    ``num_heads>1`` is the dense-crowd multi-head attention variant
+    (BASELINE.json:10).
+    """
+
+    cell: str = "gru"  # "gru" | "lstm"
+    social: bool = True
+    num_heads: int = 4
+    embed_dim: int = 64
+    hidden_dim: int = 64
+    head: str = "gmm"  # "gmm" | "deterministic"
+    num_mixtures: int = 5
+    # Proximity adjacency radius in meters; <= 0 means fully-connected over
+    # co-present agents (BASELINE.json:5 "adjacency from agent XY proximity").
+    adjacency_radius: float = 4.0
+    sigma_min: float = 1e-3
+    rho_max: float = 0.99
+    dtype: str = "float32"  # "bfloat16" runs matmuls in bf16 (loss stays f32)
+    use_pallas: bool = False  # opt-in fused Pallas GAT kernel (XLA canonical)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: str = "data/synthetic"
+    scene: str = "zara1"  # held-out scene of the 5-scene leave-one-out split
+    obs_len: int = 8  # BASELINE.json:7 obs=8
+    pred_len: int = 12  # BASELINE.json:7 pred=12
+    n_max: int = 32  # padded agent capacity (64 for dense crowds, :10)
+    stride: int = 1
+    min_agents: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    steps: int = 2000
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    k_samples: int = 20  # K for best-of-K eval (BASELINE.json:9)
+    eval_every: int = 500
+    log_every: int = 100
+    seed: int = 0
+    out_dir: str = "runs/default"
+    data_parallel: bool = False  # shard batch over a jax Mesh (BASELINE.json:11)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def config1() -> Config:
+    """BASELINE.json:7 — ETH-hotel single scene: plain LSTM encoder-decoder,
+    single-mode output, obs=8/pred=12, batch 8."""
+    return Config(
+        model=ModelConfig(cell="lstm", social=False, head="deterministic", num_heads=1),
+        data=DataConfig(scene="hotel", n_max=24),
+        train=TrainConfig(batch_size=8, k_samples=1),
+    )
+
+
+def config2() -> Config:
+    """BASELINE.json:8 — 5-scene leave-one-out: social graph-attention encoder
+    + GRU decoder, deterministic output."""
+    return Config(
+        model=ModelConfig(cell="gru", social=True, head="deterministic", num_heads=1),
+        data=DataConfig(scene="zara1", n_max=32),
+        train=TrainConfig(batch_size=32, k_samples=1),
+    )
+
+
+def config3() -> Config:
+    """BASELINE.json:9 — multimodal K=20 bivariate-Gaussian-mixture decoder
+    with best-of-K ADE/FDE eval, masked variable agent counts."""
+    return Config(
+        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=1),
+        data=DataConfig(scene="zara1", n_max=32),
+        train=TrainConfig(batch_size=32, k_samples=20),
+    )
+
+
+def config4() -> Config:
+    """BASELINE.json:10 — multi-head graph attention over dense crowds
+    (UCY-univ, 50+ agents/frame) with padded fixed-shape graphs."""
+    return Config(
+        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=4),
+        data=DataConfig(scene="univ", n_max=64),
+        train=TrainConfig(batch_size=16, k_samples=20),
+    )
+
+
+def config5() -> Config:
+    """BASELINE.json:11 — large-batch multi-scene training: vmapped padded
+    social graphs + streaming loader, data-parallel over a v4-8/v5e-8 mesh."""
+    return Config(
+        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=4),
+        data=DataConfig(scene="univ", n_max=64),
+        train=TrainConfig(batch_size=256, k_samples=20, data_parallel=True),
+    )
+
+
+PRESETS = {
+    "1": config1,
+    "2": config2,
+    "3": config3,
+    "4": config4,
+    "5": config5,
+    "config1": config1,
+    "config2": config2,
+    "config3": config3,
+    "config4": config4,
+    "config5": config5,
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown config preset {name!r}; choose from 1..5")
+    return PRESETS[name]()

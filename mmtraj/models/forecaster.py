@@ -1,0 +1,211 @@
+"""The trajectory forecaster family: social GAT + RNN encoder-decoder + heads.
+
+One configurable pure-JAX model covers the reference's whole ladder
+(BASELINE.json:7-11, see mmtraj/config.py presets):
+
+* encoder: per-agent fused-gate GRU/LSTM over observed per-step offsets, with
+  an optional per-frame social refinement — proximity adjacency rebuilt from
+  the CURRENT frame's absolute positions, multi-head GAT message passing,
+  residual into the hidden state (BASELINE.json:5).
+* decoder: same cell + social refinement, autoregressive; the adjacency is
+  recomputed INSIDE the `lax.scan` body from sampled positions, so the social
+  graph tracks each hypothetical future (SURVEY.md §7 hard part 4) without
+  retracing.
+* heads: deterministic offset regression, or a bivariate-GMM multimodal head
+  with K-sample rollouts vectorized by `vmap` over RNG keys (BASELINE.json:5).
+
+Everything is fixed-shape (B, N_max, ...) with a validity mask; recurrence is
+`lax.scan` over time (one XLA program per step fn — the reference's
+host<->device per-frame round trips collapse away, SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmtraj.config import ModelConfig
+from mmtraj.data.transforms import NormStats, denormalize, normalize, to_relative
+from mmtraj.graph.adjacency import proximity_adjacency
+from mmtraj.models import gmm
+from mmtraj.models.cells import Carry, cell_apply, cell_init, init_carry
+from mmtraj.models.gat import gat_apply, gat_init
+from mmtraj.models.layers import Params, dense, dense_init
+
+
+def _compute_dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    E, H = cfg.embed_dim, cfg.hidden_dim
+    ks = jax.random.split(key, 10)
+    params: Params = {
+        "enc": {
+            "embed": dense_init(ks[0], 2, E),
+            "cell": cell_init(ks[1], cfg.cell, E, H),
+        },
+        "dec": {
+            "embed": dense_init(ks[2], 2, E),
+            "cell": cell_init(ks[3], cfg.cell, E, H),
+        },
+        "bridge_h": dense_init(ks[4], H, H),
+    }
+    if cfg.cell == "lstm":
+        params["bridge_c"] = dense_init(ks[5], H, H)
+    if cfg.social:
+        params["enc"]["gat"] = gat_init(ks[6], H, H, cfg.num_heads)
+        params["dec"]["gat"] = gat_init(ks[7], H, H, cfg.num_heads)
+    if cfg.head == "gmm":
+        params["head"] = gmm.head_init(ks[8], H, cfg.num_mixtures)
+    else:
+        params["head"] = dense_init(ks[8], H, 2)
+    return params
+
+
+def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask) -> Carry:
+    """Advance one frame: embed offset -> cell -> social GAT refinement."""
+    dt = _compute_dtype(cfg)
+    x = jax.nn.relu(dense(pp["embed"], dxy_n, dt))
+    carry = cell_apply(pp["cell"], cfg.cell, x, carry, dt)
+    if cfg.social:
+        adj = proximity_adjacency(xy_abs, mask, cfg.adjacency_radius)
+        h = carry.h + gat_apply(pp["gat"], carry.h, adj, mask, cfg.num_heads, dt)
+        carry = Carry(h=h, c=carry.c)
+    return carry
+
+
+class Forecaster:
+    """Thin stateless wrapper binding a ModelConfig + sequence lengths to the
+    pure functions below.  All methods are jit/vmap/shard_map-safe."""
+
+    def __init__(self, cfg: ModelConfig, obs_len: int, pred_len: int):
+        self.cfg = cfg
+        self.obs_len = obs_len
+        self.pred_len = pred_len
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key: jax.Array) -> Params:
+        return init_params(key, self.cfg)
+
+    # -- encoder ------------------------------------------------------------
+    def encode(self, params: Params, xy_obs, mask, stats: NormStats) -> Carry:
+        """xy_obs (B, N, To, 2) absolute meters, mask (B, N) -> decoder-ready
+        carry (bridged)."""
+        cfg = self.cfg
+        B, N = mask.shape
+        dxy_n = normalize(to_relative(xy_obs), stats)
+        xs = (
+            jnp.moveaxis(dxy_n, 2, 0),  # (To, B, N, 2)
+            jnp.moveaxis(xy_obs, 2, 0),
+        )
+        carry0 = init_carry((B, N), cfg.hidden_dim)
+
+        def body(carry, x):
+            dxy_t, xy_t = x
+            return _step(params["enc"], cfg, carry, dxy_t, xy_t, mask), None
+
+        carry, _ = jax.lax.scan(body, carry0, xs)
+
+        h = jnp.tanh(dense(params["bridge_h"], carry.h))
+        c = (
+            jnp.tanh(dense(params["bridge_c"], carry.c))
+            if cfg.cell == "lstm"
+            else jnp.zeros_like(carry.c)
+        )
+        return Carry(h=h, c=c)
+
+    # -- heads --------------------------------------------------------------
+    def _head(self, params: Params, h):
+        cfg = self.cfg
+        if cfg.head == "gmm":
+            return gmm.head_apply(
+                params["head"], h, cfg.num_mixtures, cfg.sigma_min, cfg.rho_max
+            )
+        return dense(params["head"], h).astype(jnp.float32)
+
+    # -- training decode (teacher forcing) ----------------------------------
+    def decode_teacher(self, params: Params, carry: Carry, xy_fut, dxy_fut_n, mask):
+        """Teacher-forced decode: at step t emit the head output predicting
+        offset t from the pre-step state, then advance on ground truth.
+
+        xy_fut (B, N, Tp, 2) absolute, dxy_fut_n (B, N, Tp, 2) normalized
+        target offsets.  Returns head outputs with step axis at -2:
+        GMMParams leaves (B, N, Tp, ...) or (B, N, Tp, 2) for deterministic.
+        """
+        cfg = self.cfg
+        xs = (jnp.moveaxis(dxy_fut_n, 2, 0), jnp.moveaxis(xy_fut, 2, 0))
+
+        def body(carry, x):
+            dxy_t, xy_t = x
+            out = self._head(params, carry.h)
+            carry = _step(params["dec"], cfg, carry, dxy_t, xy_t, mask)
+            return carry, out
+
+        _, outs = jax.lax.scan(body, carry, xs)
+        # (Tp, B, N, ...) -> (B, N, Tp, ...)
+        return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 2), outs)
+
+    # -- sampling decode (autoregressive rollout) ----------------------------
+    def decode_rollout(self, params: Params, carry: Carry, xy_last, mask, stats, key):
+        """One sampled rollout -> absolute positions (B, N, Tp, 2), meters.
+
+        Offsets are sampled from the head (GMM) or taken directly
+        (deterministic); positions integrate on-device and feed the next
+        step's proximity graph.
+        """
+        cfg = self.cfg
+        keys = jax.random.split(key, self.pred_len)
+
+        def body(state, k):
+            carry, xy = state
+            out = self._head(params, carry.h)
+            if cfg.head == "gmm":
+                dxy_n = gmm.sample(out, k)
+            else:
+                dxy_n = out
+            xy_new = xy + denormalize(dxy_n, stats)
+            carry = _step(params["dec"], cfg, carry, dxy_n, xy_new, mask)
+            return (carry, xy_new), xy_new
+
+        _, traj = jax.lax.scan(body, (carry, xy_last), keys)
+        return jnp.moveaxis(traj, 0, 2)  # (B, N, Tp, 2)
+
+    # -- public API ----------------------------------------------------------
+    def loss(self, params: Params, xy, mask, stats: NormStats):
+        """Training objective on a full window xy (B, N, To+Tp, 2).
+
+        GMM head: mixture NLL of normalized target offsets (float32,
+        log-sum-exp — SURVEY.md §7 hard part 3).  Deterministic head: MSE on
+        normalized offsets.  Masked mean over valid agent-steps.
+        """
+        cfg = self.cfg
+        To = self.obs_len
+        xy_obs, xy_fut = xy[:, :, :To], xy[:, :, To:]
+        dxy_n = normalize(to_relative(xy), stats)
+        dxy_fut_n = dxy_n[:, :, To:]
+
+        carry = self.encode(params, xy_obs, mask, stats)
+        outs = self.decode_teacher(params, carry, xy_fut, dxy_fut_n, mask)
+
+        if cfg.head == "gmm":
+            per_step = gmm.nll(outs, dxy_fut_n)  # (B, N, Tp)
+        else:
+            per_step = jnp.sum((outs - dxy_fut_n) ** 2, axis=-1)  # (B, N, Tp)
+
+        w = mask[..., None].astype(jnp.float32)  # (B, N, 1) broadcast over Tp
+        denom = jnp.maximum(w.sum() * per_step.shape[-1], 1.0)
+        loss = jnp.sum(per_step * w) / denom
+        return loss, {"loss": loss}
+
+    def rollout_k(self, params: Params, xy_obs, mask, stats: NormStats, key, k: int):
+        """K sampled rollouts, encode once, vmap over sample keys ->
+        (K, B, N, Tp, 2) absolute meters (BASELINE.json:5)."""
+        carry = self.encode(params, xy_obs, mask, stats)
+        xy_last = xy_obs[:, :, -1]
+        keys = jax.random.split(key, k)
+        return jax.vmap(
+            lambda kk: self.decode_rollout(params, carry, xy_last, mask, stats, kk)
+        )(keys)

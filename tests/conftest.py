@@ -1,0 +1,35 @@
+"""Test env: run everything on a virtual 8-device CPU mesh.
+
+SURVEY.md §4 "distributed-without-a-cluster": tests force the CPU platform
+with 8 virtual devices so the pjit/mesh code paths run in CI exactly as they
+would on a v4-8/v5e-8; the same tests run unchanged on real TPU.
+Must set env BEFORE jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: the scan-heavy model paths dominate test wall time.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def synth_dir(tmp_path_factory):
+    """Small deterministic synthetic dataset shared by the whole session."""
+    from mmtraj.data.synthetic import write_synthetic_dataset
+
+    d = tmp_path_factory.mktemp("data")
+    write_synthetic_dataset(str(d), seed=0, n_frames=120)
+    return str(d)

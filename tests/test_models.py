@@ -1,0 +1,138 @@
+"""Forecaster model tests across the config ladder (BASELINE.json:7-10).
+
+Covers: loss finiteness + gradients, padding invariance end-to-end, rollout
+shapes/determinism, and every cell/head/social combination.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtraj.config import ModelConfig
+from mmtraj.data.transforms import NormStats
+from mmtraj.models.forecaster import Forecaster
+
+OBS, PRED = 8, 12
+
+
+def _batch(rng, B=2, N=5, scale=3.0):
+    # smooth-ish random walks in meters
+    steps = rng.normal(size=(B, N, OBS + PRED, 2)).astype(np.float32) * 0.3
+    xy = np.cumsum(steps, axis=2) + rng.normal(size=(B, N, 1, 2)).astype(np.float32) * scale
+    mask = np.ones((B, N), bool)
+    mask[:, -1] = False
+    return jnp.asarray(xy), jnp.asarray(mask)
+
+
+def _stats():
+    return NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))
+
+
+CFGS = [
+    ModelConfig(cell="lstm", social=False, head="deterministic", num_heads=1),  # config 1
+    ModelConfig(cell="gru", social=True, head="deterministic", num_heads=1),  # config 2
+    ModelConfig(cell="gru", social=True, head="gmm", num_heads=1),  # config 3
+    ModelConfig(cell="gru", social=True, head="gmm", num_heads=4),  # config 4
+    ModelConfig(cell="lstm", social=True, head="gmm", num_heads=2),
+]
+
+
+@pytest.mark.parametrize("cfg", CFGS, ids=[f"cfg{i}" for i in range(len(CFGS))])
+def test_loss_and_grads_finite(cfg, rng):
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    (loss, aux), grads = jax.value_and_grad(
+        lambda p: model.loss(p, xy, mask, _stats()), has_aux=True
+    )(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("cfg", CFGS[:4], ids=["cfg0", "cfg1", "cfg2", "cfg3"])
+def test_rollout_shapes(cfg, rng):
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    K = 4
+    roll = model.rollout_k(params, xy[:, :, :OBS], mask, _stats(), jax.random.PRNGKey(1), K)
+    assert roll.shape == (K, 2, 5, PRED, 2)
+    assert np.isfinite(np.asarray(roll)).all()
+
+
+def test_rollout_deterministic_head_identical_samples(rng):
+    cfg = ModelConfig(cell="gru", social=True, head="deterministic", num_heads=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    roll = model.rollout_k(params, xy[:, :, :OBS], mask, _stats(), jax.random.PRNGKey(1), 3)
+    np.testing.assert_allclose(np.asarray(roll[0]), np.asarray(roll[1]))
+
+
+def test_gmm_rollout_samples_differ(rng):
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    roll = np.asarray(
+        model.rollout_k(params, xy[:, :, :OBS], mask, _stats(), jax.random.PRNGKey(1), 2)
+    )
+    assert np.abs(roll[0] - roll[1]).max() > 1e-4
+
+
+def test_loss_padding_invariance(rng):
+    """Changing padded agents' trajectories must not change the loss or the
+    valid-parameter gradients (end-to-end masking, SURVEY.md §7 hard part 2)."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    noise = jnp.asarray(rng.normal(size=np.asarray(xy).shape).astype(np.float32)) * 50
+    xy2 = jnp.where(jnp.asarray(mask)[..., None, None], xy, xy + noise)
+
+    l1, _ = model.loss(params, xy, mask, _stats())
+    l2, _ = model.loss(params, xy2, mask, _stats())
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+    g1 = jax.grad(lambda p: model.loss(p, xy, mask, _stats())[0])(params)
+    g2 = jax.grad(lambda p: model.loss(p, xy2, mask, _stats())[0])(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_rollout_padding_invariance(rng):
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    noise = jnp.asarray(rng.normal(size=np.asarray(xy).shape).astype(np.float32)) * 50
+    xy2 = jnp.where(jnp.asarray(mask)[..., None, None], xy, xy + noise)
+    r1 = np.asarray(
+        model.rollout_k(params, xy[:, :, :OBS], mask, _stats(), jax.random.PRNGKey(3), 2)
+    )
+    r2 = np.asarray(
+        model.rollout_k(params, xy2[:, :, :OBS], mask, _stats(), jax.random.PRNGKey(3), 2)
+    )
+    m = np.asarray(mask)
+    np.testing.assert_allclose(r1[:, m], r2[:, m], atol=1e-4)
+
+
+def test_loss_jits_and_is_reproducible(rng):
+    cfg = ModelConfig()
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    f = jax.jit(lambda p, x, m: model.loss(p, x, m, _stats())[0])
+    np.testing.assert_allclose(float(f(params, xy, mask)), float(f(params, xy, mask)))
+
+
+def test_bfloat16_compute_path(rng):
+    cfg = ModelConfig(dtype="bfloat16")
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    loss, _ = model.loss(params, xy, mask, _stats())
+    assert loss.dtype == jnp.float32  # loss stays f32 (SURVEY.md §7 part 3)
+    assert np.isfinite(float(loss))
