@@ -1,0 +1,138 @@
+"""Public train/eval entry points (BASELINE.json:5; SURVEY.md §1 L5).
+
+Usage:
+  python -m mmtraj.cli train --config 3 --scene zara1 --data-dir data/synthetic
+  python -m mmtraj.cli eval  --ckpt runs/x/checkpoint.npz --data-dir data/synthetic
+  python -m mmtraj.cli generate-data --data-dir data/synthetic
+
+Root-level wrappers `train.py` / `evaluate.py` mirror the research-repo-family
+convention (SURVEY.md §2.4 [K]; the reference's exact argv surface is unknown
+— its mount was empty, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from mmtraj.config import SCENES, get_config
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data-dir", default=None, help="annotation dir ({scene}.txt files)")
+    p.add_argument("--scene", default=None, choices=SCENES, help="held-out scene")
+    p.add_argument("--k", type=int, default=None, help="K samples for best-of-K eval")
+    p.add_argument("--obs-len", type=int, default=None)
+    p.add_argument("--pred-len", type=int, default=None)
+    p.add_argument("--n-max", type=int, default=None, help="padded agent capacity")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="mmtraj", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    tp = sub.add_parser("train", help="train a forecaster")
+    tp.add_argument("--config", default="3", help="preset 1..5 (BASELINE ladder)")
+    _add_common(tp)
+    tp.add_argument("--steps", type=int, default=None)
+    tp.add_argument("--batch-size", type=int, default=None)
+    tp.add_argument("--lr", type=float, default=None)
+    tp.add_argument("--seed", type=int, default=None)
+    tp.add_argument("--out-dir", default=None)
+    tp.add_argument("--eval-every", type=int, default=None)
+    tp.add_argument("--data-parallel", action="store_true")
+    tp.add_argument("--synthetic", action="store_true",
+                    help="generate synthetic data into --data-dir first")
+
+    ep = sub.add_parser("eval", help="evaluate a checkpoint (best-of-K ADE/FDE)")
+    ep.add_argument("--ckpt", required=True)
+    _add_common(ep)
+    ep.add_argument("--batch-size", type=int, default=64)
+    ep.add_argument("--seed", type=int, default=0)
+
+    gp = sub.add_parser("generate-data", help="write the synthetic ETH/UCY-format dataset")
+    gp.add_argument("--data-dir", required=True)
+    gp.add_argument("--seed", type=int, default=0)
+    gp.add_argument("--n-frames", type=int, default=600)
+    return ap
+
+
+def _apply_overrides(cfg, args):
+    model, data, train = cfg.model, cfg.data, cfg.train
+    dk = {k: v for k, v in {
+        "data_dir": args.data_dir, "scene": args.scene,
+        "obs_len": args.obs_len, "pred_len": args.pred_len, "n_max": args.n_max,
+    }.items() if v is not None}
+    tk = {k: v for k, v in {
+        "steps": getattr(args, "steps", None), "batch_size": getattr(args, "batch_size", None),
+        "lr": getattr(args, "lr", None), "seed": getattr(args, "seed", None),
+        "out_dir": getattr(args, "out_dir", None), "k_samples": args.k,
+        "eval_every": getattr(args, "eval_every", None),
+    }.items() if v is not None}
+    if getattr(args, "data_parallel", False):
+        tk["data_parallel"] = True
+    return cfg.replace(
+        model=model,
+        data=dataclasses.replace(data, **dk),
+        train=dataclasses.replace(train, **tk),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "generate-data":
+        from mmtraj.data.synthetic import write_synthetic_dataset
+
+        write_synthetic_dataset(args.data_dir, args.seed, args.n_frames)
+        print(f"wrote synthetic scenes {SCENES} to {args.data_dir}")
+        return 0
+
+    if args.cmd == "train":
+        from mmtraj.train import fit
+
+        cfg = _apply_overrides(get_config(args.config), args)
+        if args.synthetic:
+            from mmtraj.data.synthetic import write_synthetic_dataset
+
+            write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
+        result = fit(cfg)
+        if result.eval_metrics:
+            print(
+                f"final: best-of-{result.eval_metrics['k']} "
+                f"ADE={result.eval_metrics['min_ade']:.4f}m "
+                f"FDE={result.eval_metrics['min_fde']:.4f}m"
+            )
+        return 0
+
+    if args.cmd == "eval":
+        import jax
+
+        from mmtraj import checkpoint as ckpt_lib
+        from mmtraj.data.collate import WindowDataset
+        from mmtraj.data.registry import load_scene_windows
+        from mmtraj.evaluate import evaluate
+        from mmtraj.models.forecaster import Forecaster
+
+        params, stats, cfg, step = ckpt_lib.load(args.ckpt)
+        cfg = _apply_overrides(cfg, args)
+        windows = load_scene_windows(
+            cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
+            cfg.data.stride, cfg.data.min_agents,
+        )
+        ds = WindowDataset(windows, cfg.data.n_max)
+        model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+        m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size, args.seed)
+        print(
+            f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
+            f"agents={m['n_agents']}: best-of-{m['k']} "
+            f"ADE={m['min_ade']:.4f}m FDE={m['min_fde']:.4f}m"
+        )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""Best-of-K evaluation over a held-out scene (BASELINE.json:2,9).
+
+Batches the test windows at a fixed shape (last batch padded with all-invalid
+windows), accumulates masked error *sums* and agent counts, and divides once —
+so padding never biases the reported ADE/FDE.  The K=20 sampling runs fully
+on device: encode once per batch, `vmap` over sample keys (SURVEY.md §3.2 is
+the reference's Python-loop version of this stack; this is the collapsed XLA
+program).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtraj.data.collate import WindowDataset
+from mmtraj.data.transforms import NormStats
+from mmtraj.metrics import displacement_errors
+from mmtraj.models.forecaster import Forecaster
+
+
+def _eval_sums(model: Forecaster, k: int):
+    """Jittable per-batch evaluator -> (min_ade_sum, min_fde_sum, n_valid)."""
+
+    def fn(params, xy, mask, stats_mean, stats_std, key):
+        stats = NormStats(stats_mean, stats_std)
+        obs = xy[:, :, : model.obs_len]
+        gt = xy[:, :, model.obs_len :]
+        preds = model.rollout_k(params, obs, mask, stats, key, k)  # (K,B,N,Tp,2)
+        ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
+        ade = ade_k.min(axis=0)
+        fde = fde_k.min(axis=0)
+        m = mask.astype(jnp.float32)
+        return (ade * m).sum(), (fde * m).sum(), m.sum()
+
+    return jax.jit(fn)
+
+
+def evaluate(
+    model: Forecaster,
+    params,
+    stats: NormStats,
+    test_ds: WindowDataset,
+    k: int = 20,
+    batch_size: int = 64,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Full-test-set best-of-K ADE/FDE in world meters."""
+    fn = _eval_sums(model, k)
+    key = jax.random.PRNGKey(seed)
+    n = len(test_ds)
+    ade_sum = fde_sum = count = 0.0
+    mean = jnp.asarray(stats.mean)
+    std = jnp.asarray(stats.std)
+    for s in range(0, n, batch_size):
+        idx = np.arange(s, min(s + batch_size, n))
+        xy, mask = test_ds.batch(idx)
+        if len(idx) < batch_size:  # pad to fixed shape with invalid windows
+            pad = batch_size - len(idx)
+            xy = np.concatenate([xy, np.zeros((pad,) + xy.shape[1:], xy.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
+        key, sub = jax.random.split(key)
+        a, f, c = fn(params, jnp.asarray(xy), jnp.asarray(mask), mean, std, sub)
+        ade_sum += float(a)
+        fde_sum += float(f)
+        count += float(c)
+    count = max(count, 1.0)
+    return {
+        "min_ade": ade_sum / count,
+        "min_fde": fde_sum / count,
+        "k": k,
+        "n_windows": n,
+        "n_agents": int(count),
+    }

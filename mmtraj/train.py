@@ -1,0 +1,158 @@
+"""Training loop: jit-compiled steps, optional mesh data parallelism.
+
+L4 of the layer map (SURVEY.md §1): loss (GMM NLL / MSE), Adam with gradient
+clipping, periodic best-of-K eval, checkpointing, structured logging.  The
+whole step — loss, backward, optimizer update — is ONE compiled XLA program;
+with ``train.data_parallel`` the same program runs SPMD over a device mesh
+with the batch sharded and gradients all-reduced over ICI (BASELINE.json:11).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmtraj import checkpoint as ckpt_lib
+from mmtraj.config import Config
+from mmtraj.data.collate import WindowDataset
+from mmtraj.data.pipeline import DeviceDataset
+from mmtraj.data.registry import load_split
+from mmtraj.data.transforms import NormStats, compute_norm_stats
+from mmtraj.evaluate import evaluate
+from mmtraj.models.forecaster import Forecaster
+from mmtraj.parallel.mesh import batch_sharding, make_mesh, replicated
+from mmtraj.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    stats: NormStats
+    config: Config
+    history: list
+    eval_metrics: Dict[str, float]
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    tx = optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay)
+    if cfg.train.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), tx)
+    return tx
+
+
+def make_train_step(model: Forecaster, optimizer, stats: NormStats, mesh=None):
+    """Build the jitted (params, opt_state, xy, mask) -> (params, opt_state,
+    loss) step.  With a mesh: batch sharded over 'data', state replicated —
+    XLA derives the psum gradient all-reduce from the shardings."""
+    mean = jnp.asarray(stats.mean)
+    std = jnp.asarray(stats.std)
+
+    def step(params, opt_state, xy, mask):
+        s = NormStats(mean, std)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: model.loss(p, xy, mask, s), has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    rep, shd = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, shd, shd),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
+def fit(
+    cfg: Config,
+    data_dir: Optional[str] = None,
+    logger: Optional[MetricsLogger] = None,
+    mesh=None,
+) -> TrainResult:
+    """End-to-end training per the config (entry point behind `cli train`)."""
+    data_dir = data_dir or cfg.data.data_dir
+    t_setup = time.time()
+    train_w, test_w = load_split(
+        data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
+        cfg.data.stride, cfg.data.min_agents,
+    )
+    if not train_w:
+        raise RuntimeError(f"no training windows found under {data_dir!r}")
+    stats = compute_norm_stats(train_w, cfg.data.obs_len)
+    train_ds = WindowDataset(train_w, cfg.data.n_max)
+    test_ds = WindowDataset(test_w, cfg.data.n_max) if test_w else None
+
+    if cfg.train.data_parallel and mesh is None:
+        mesh = make_mesh()
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    device_ds = DeviceDataset(train_ds, sharding=sharding)
+
+    model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+    params = model.init(jax.random.PRNGKey(cfg.train.seed))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+    step_fn = make_train_step(model, optimizer, stats, mesh)
+
+    logger = logger or MetricsLogger(cfg.train.out_dir)
+    logger.log(
+        0,
+        event="setup",
+        train_windows=len(train_ds),
+        test_windows=len(test_ds) if test_ds else 0,
+        dropped_agents=train_ds.n_dropped,
+        params=sum(p.size for p in jax.tree.leaves(params)),
+        devices=len(mesh.devices.flat) if mesh is not None else 1,
+        setup_s=round(time.time() - t_setup, 2),
+    )
+
+    rng = np.random.default_rng(cfg.train.seed)
+    history = []
+    eval_metrics: Dict[str, float] = {}
+    step = 0
+    t_train = time.time()
+    while step < cfg.train.steps:
+        for idx in device_ds.epoch_indices(cfg.train.batch_size, rng):
+            xy, mask = device_ds.batch(idx)
+            params, opt_state, loss = step_fn(params, opt_state, xy, mask)
+            step += 1
+            if step % cfg.train.log_every == 0 or step == 1:
+                lv = float(loss)
+                history.append((step, lv))
+                sps = step / max(time.time() - t_train, 1e-9)
+                logger.log(step, loss=lv, steps_per_sec=round(sps, 2))
+            if test_ds is not None and cfg.train.eval_every > 0 and step % cfg.train.eval_every == 0:
+                eval_metrics = evaluate(
+                    model, params, stats, test_ds, cfg.train.k_samples,
+                    batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
+                )
+                logger.log(step, **{f"eval_{k}": v for k, v in eval_metrics.items()})
+            if step >= cfg.train.steps:
+                break
+
+    if test_ds is not None and not eval_metrics:
+        eval_metrics = evaluate(
+            model, params, stats, test_ds, cfg.train.k_samples,
+            batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
+        )
+        logger.log(step, **{f"eval_{k}": v for k, v in eval_metrics.items()})
+
+    if cfg.train.out_dir:
+        path = os.path.join(cfg.train.out_dir, "checkpoint.npz")
+        ckpt_lib.save(path, params, stats, cfg, step)
+        logger.log(step, event="checkpoint", path=path)
+
+    return TrainResult(params, stats, cfg, history, eval_metrics)

@@ -1,0 +1,41 @@
+"""Structured metrics logging: stdout + JSONL (SURVEY.md §5 observability).
+
+The reference logs to console only [K]; here every record is also appended to
+``{out_dir}/metrics.jsonl`` so runs are machine-readable (bench + regression
+tracking read these files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, out_dir: Optional[str] = None, quiet: bool = False):
+        self.quiet = quiet
+        self._fh = None
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            self._fh = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+        self._t0 = time.time()
+
+    def log(self, step: int, **metrics: Any) -> None:
+        rec: Dict[str, Any] = {"step": step, "t": round(time.time() - self._t0, 3)}
+        rec.update({k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()})
+        if self._fh:
+            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.flush()
+        if not self.quiet:
+            parts = " ".join(
+                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items()
+                if k not in ("step", "t")
+            )
+            print(f"[step {step:>6} t={rec['t']:>8.1f}s] {parts}", flush=True)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()

@@ -1,0 +1,45 @@
+"""CLI entry-point tests (SURVEY.md §1 L5: public train/eval entry points)."""
+
+import subprocess
+import sys
+
+import pytest
+
+from mmtraj.cli import main
+
+
+def test_generate_data(tmp_path):
+    d = str(tmp_path / "gen")
+    assert main(["generate-data", "--data-dir", d, "--n-frames", "60"]) == 0
+    import glob
+
+    assert len(glob.glob(d + "/*.txt")) == 5
+
+
+def test_train_then_eval_cli(synth_dir, tmp_path, capsys):
+    out = str(tmp_path / "cli_run")
+    rc = main(
+        [
+            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "zara2",
+            "--steps", "20", "--batch-size", "8", "--k", "2", "--n-max", "24",
+            "--out-dir", out, "--eval-every", "0",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "best-of-2" in captured and "ADE=" in captured
+
+    rc = main(["eval", "--ckpt", out + "/checkpoint.npz", "--data-dir", synth_dir, "--k", "2"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "best-of-2" in captured and "FDE=" in captured
+
+
+def test_cli_requires_subcommand():
+    with pytest.raises(SystemExit):
+        main([])
+
+
+def test_cli_rejects_unknown_scene():
+    with pytest.raises(SystemExit):
+        main(["train", "--scene", "nowhere"])
