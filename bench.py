@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: trajectory rollouts/sec/chip at K=20 (BASELINE.json:2).
+
+Measures the flagship model (config-4 shape: multi-head GAT over dense padded
+graphs, GMM head) running the full eval stack — encode + K=20 sampled
+autoregressive rollouts — as one jitted XLA program on one chip, and divides
+by a reference-style NumPy loop baseline measured on this same machine
+(mmtraj/benchmarks/reference_loop.py; the real reference repo is absent —
+SURVEY.md §0/§7 — so the in-repo loop is the documented stand-in denominator).
+
+A "rollout" = one sampled 12-step future for one scene window at K=20 (i.e.
+value counts window*K rollouts per second on one chip).
+
+Prints exactly ONE JSON line to stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from mmtraj.config import get_config
+    from mmtraj.data.transforms import NormStats
+    from mmtraj.models.forecaster import Forecaster
+
+    cfg = get_config("4")  # flagship: multi-head GAT, GMM, dense crowds
+    B, N, TO, TP, K = 64, cfg.data.n_max, cfg.data.obs_len, cfg.data.pred_len, 20
+
+    log(f"device: {jax.devices()[0]}  B={B} N={N} obs={TO} pred={TP} K={K}")
+
+    model = Forecaster(cfg.model, TO, TP)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+
+    rng = np.random.default_rng(0)
+    steps = rng.normal(size=(B, N, TO, 2)).astype(np.float32) * 0.4
+    xy_obs = jnp.asarray(np.cumsum(steps, axis=2) + rng.normal(size=(B, N, 1, 2)) * 5)
+    mask = jnp.asarray(rng.random((B, N)) < 0.75)
+
+    roll_fn = jax.jit(lambda p, x, m, k: model.rollout_k(p, x, m, stats, k, K))
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    roll_fn(params, xy_obs, mask, key).block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # Timed region: distinct keys per iter, async dispatch, one final sync.
+    iters = 30
+    keys = jax.random.split(key, iters)
+    t0 = time.time()
+    out = None
+    for i in range(iters):
+        out = roll_fn(params, xy_obs, mask, keys[i])
+    out.block_until_ready()
+    dt = time.time() - t0
+    tpu_rps = B * K * iters / dt
+    log(f"tpu: {iters} iters in {dt:.3f}s -> {tpu_rps:,.0f} window-rollouts/s/chip "
+        f"({tpu_rps * int(np.asarray(mask).sum()) / B:,.0f} agent-trajectories/s)")
+
+    # Reference-style loop baseline: one window, K=20, same architecture/sizes.
+    from mmtraj.benchmarks.reference_loop import ReferenceStyleForecaster
+
+    ref = ReferenceStyleForecaster(
+        params, cfg.model.num_heads, cfg.model.num_mixtures, cfg.model.adjacency_radius,
+        cfg.model.sigma_min, cfg.model.rho_max, stats.mean, stats.std,
+    )
+    w_mask = np.asarray(mask[0])
+    w_obs = np.asarray(xy_obs[0])[w_mask]  # valid agents only — loop pays no padding
+    nrng = np.random.default_rng(0)
+    ref.rollout(w_obs[:, :2], k=1, pred_len=2, rng=nrng)  # warm caches
+    t0 = time.time()
+    ref_iters = 3
+    for _ in range(ref_iters):
+        ref.rollout(w_obs, k=K, pred_len=TP, rng=nrng)
+    ref_dt = time.time() - t0
+    ref_rps = K * ref_iters / ref_dt  # window-rollouts/s (1 window per call)
+    log(f"reference-style loop: {ref_iters} windows (N={len(w_obs)}) in {ref_dt:.2f}s "
+        f"-> {ref_rps:.2f} window-rollouts/s")
+
+    vs = tpu_rps / ref_rps
+    print(json.dumps({
+        "metric": "rollouts_per_sec_per_chip_k20",
+        "value": round(tpu_rps, 1),
+        "unit": "window-rollouts/s/chip (K=20, N_max=64, obs=8, pred=12)",
+        "vs_baseline": round(vs, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
