@@ -72,7 +72,9 @@ def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask) -> Ca
     carry = cell_apply(pp["cell"], cfg.cell, x, carry, dt)
     if cfg.social:
         adj = proximity_adjacency(xy_abs, mask, cfg.adjacency_radius)
-        h = carry.h + gat_apply(pp["gat"], carry.h, adj, mask, cfg.num_heads, dt)
+        h = carry.h + gat_apply(
+            pp["gat"], carry.h, adj, mask, cfg.num_heads, dt, use_pallas=cfg.use_pallas
+        )
         carry = Carry(h=h, c=carry.c)
     return carry
 
@@ -183,6 +185,11 @@ class Forecaster:
         """
         cfg = self.cfg
         To = self.obs_len
+        if xy.shape[2] != self.obs_len + self.pred_len:
+            raise ValueError(
+                f"loss expects full windows of {self.obs_len}+{self.pred_len} "
+                f"frames, got T={xy.shape[2]}"
+            )
         xy_obs, xy_fut = xy[:, :, :To], xy[:, :, To:]
         dxy_n = normalize(to_relative(xy), stats)
         dxy_fut_n = dxy_n[:, :, To:]

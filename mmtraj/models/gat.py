@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mmtraj.models.layers import Params, glorot, masked_softmax
+from mmtraj.models.layers import Params, glorot
 
 
 def gat_init(key, din: int, dout: int, num_heads: int) -> Params:
@@ -39,35 +39,27 @@ def gat_apply(
     mask: jnp.ndarray,
     num_heads: int,
     dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """h (B, N, D), adj (B, N, N) bool, mask (B, N) bool -> (B, N, dout).
 
     score_ij = LeakyReLU(a_src . v_i + a_dst . v_j); alpha = masked softmax
     over neighbors j (self-loop included for valid i); out_i = Wo [concat_h
     sum_j alpha_ij v_j].
+
+    ``use_pallas=True`` routes the whole layer through the fused Pallas TPU
+    kernel (mmtraj/ops/fused_gat.py) — equivalence-tested against this XLA
+    path, which stays canonical (SURVEY.md §7 hard part 5).
     """
-    B, N, _ = h.shape
-    wv = p["wv"]
-    hin = h
-    if dtype is not None:
-        hin, wv = hin.astype(dtype), wv.astype(dtype)
-    v = jnp.dot(hin, wv, preferred_element_type=jnp.float32)  # (B, N, H*dh)
-    v = v.reshape(B, N, num_heads, -1)  # (B, N, H, dh)
+    from mmtraj.ops.fused_gat import fused_gat, gat_math
 
-    s_src = jnp.einsum("bnhd,hd->bnh", v, p["a_src"])  # (B, N, H)
-    s_dst = jnp.einsum("bnhd,hd->bnh", v, p["a_dst"])
-    logits = jax.nn.leaky_relu(
-        s_src[:, :, None, :] + s_dst[:, None, :, :], negative_slope=0.2
-    )  # (B, N_recv, N_send, H)
-
+    N = h.shape[-2]
     eye = jnp.eye(N, dtype=bool)
     attend = adj | (eye[None] & mask[:, None, :] & mask[:, :, None])  # (B, N, N)
-    alpha = masked_softmax(logits, attend[..., None], axis=2)  # (B, N, N, H)
-
-    out = jnp.einsum("bnmh,bmhd->bnhd", alpha, v)  # (B, N, H, dh)
-    out = out.reshape(B, N, -1)
-    wo = p["wo"]
-    if dtype is not None:
-        out, wo = out.astype(dtype), wo.astype(dtype)
-    out = jnp.dot(out, wo, preferred_element_type=jnp.float32) + p["bo"]
+    hin = h.astype(dtype) if dtype is not None else h
+    fn = fused_gat if use_pallas else gat_math
+    out = fn(
+        hin, attend.astype(jnp.float32), p["wv"], p["a_src"], p["a_dst"],
+        p["wo"], p["bo"], num_heads,
+    )
     return jnp.where(mask[..., None], out, 0.0)

@@ -1,0 +1,145 @@
+"""Fused multi-head GAT layer as a batched Pallas TPU kernel.
+
+BASELINE.json:5 mandates "the small per-agent matmuls fused into batched
+Pallas kernels".  The whole GAT layer for one padded social graph —
+value projection, per-head additive attention scores, masked softmax over
+neighbors, per-head aggregation, output projection — is ONE kernel program
+per batch element: five small MXU matmuls plus the VPU softmax, with all
+intermediates living in VMEM (no HBM round trips between the stages that XLA
+would otherwise materialize).  The grid runs over the batch dimension, so
+under `vmap` over K rollout samples the effective grid is B*K programs.
+
+Per SURVEY.md §7 hard part 5 the XLA path stays canonical: `gat_math` is the
+single source of truth for the math, the kernel must match it bit-for-bit-ish
+(equivalence-tested in tests/test_pallas.py), and the backward pass is the
+XLA autodiff of `gat_math` via custom_vjp — so training works with the fused
+forward.
+
+Head trick: per-head score vectors a_src/a_dst (H, dh) are expanded to
+block-diagonal (H*dh, H) matrices so the per-head reductions become one MXU
+matmul `v @ A` instead of awkward 3-D reshapes inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def _block_diag(a: jnp.ndarray) -> jnp.ndarray:
+    """(H, dh) per-head vectors -> (H*dh, H) block-diagonal matrix."""
+    H = a.shape[0]
+    eye = jnp.eye(H, dtype=a.dtype)
+    return (a[:, :, None] * eye[:, None, :]).reshape(-1, H)
+
+
+def gat_math(h, attend, wv, a_src, a_dst, wo, bo, num_heads: int):
+    """Canonical XLA implementation on raw matrices.
+
+    h (B, N, D); attend (B, N, N) float {0,1}; wv (D, H*dh); a_src/a_dst
+    (H, dh); wo (H*dh, D_out); bo (D_out,).  Returns (B, N, D_out) float32.
+    """
+    v = jnp.einsum("bnd,de->bne", h, wv).astype(jnp.float32)  # (B, N, HD)
+    asrc_bd = _block_diag(a_src.astype(jnp.float32))
+    adst_bd = _block_diag(a_dst.astype(jnp.float32))
+    s_src = v @ asrc_bd  # (B, N, H)
+    s_dst = v @ adst_bd
+    dh = wv.shape[1] // num_heads
+    # Static per-head loop: keeps every intermediate at (B, N, N), never
+    # (B, N, N, H).  A trailing head dim of 4 would be lane-padded to 128 on
+    # TPU — a 32x HBM blowup measured at ~50x end-to-end rollout slowdown.
+    cols = []
+    for hh in range(num_heads):
+        logits = s_src[:, :, hh][:, :, None] + s_dst[:, :, hh][:, None, :]
+        logits = jax.nn.leaky_relu(logits, negative_slope=0.2)
+        logits = jnp.where(attend > 0, logits, NEG_INF)
+        m = jnp.max(logits, axis=2, keepdims=True)
+        e = jnp.exp(logits - jax.lax.stop_gradient(m)) * attend
+        alpha = e / jnp.maximum(e.sum(axis=2, keepdims=True), 1e-20)  # (B,N,N)
+        cols.append(jnp.einsum("bnm,bmd->bnd", alpha, v[:, :, hh * dh : (hh + 1) * dh]))
+    out = jnp.concatenate(cols, axis=-1)  # (B, N, HD)
+    return out @ wo.astype(jnp.float32) + bo
+
+
+def _gat_kernel(h_ref, attend_ref, wv_ref, asrc_ref, adst_ref, wo_ref, bo_ref,
+                out_ref, *, num_heads: int, dh: int):
+    """One program = one batch element; everything stays in VMEM."""
+    h = h_ref[0]  # (N, D)
+    attend = attend_ref[0]  # (N, N)
+    v = jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)  # (N, HD)
+    s_src = jnp.dot(v, asrc_ref[:], preferred_element_type=jnp.float32)  # (N, H)
+    s_dst = jnp.dot(v, adst_ref[:], preferred_element_type=jnp.float32)
+    cols = []
+    for hh in range(num_heads):  # static unroll, H <= 8
+        logits = s_src[:, hh : hh + 1] + s_dst[:, hh][None, :]  # (N, N)
+        logits = jnp.where(logits > 0, logits, 0.2 * logits)  # leaky relu
+        logits = jnp.where(attend > 0, logits, NEG_INF)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m) * attend
+        alpha = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
+        cols.append(
+            jnp.dot(alpha, v[:, hh * dh : (hh + 1) * dh],
+                    preferred_element_type=jnp.float32)
+        )
+    out = jnp.concatenate(cols, axis=1)  # (N, HD)
+    y = jnp.dot(out, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    out_ref[0] = y
+
+
+def _fused_gat_fwd_impl(h, attend, wv, a_src, a_dst, wo, bo, num_heads: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = h.shape
+    HD = wv.shape[1]
+    dh = HD // num_heads
+    Dout = wo.shape[1]
+    asrc_bd = _block_diag(a_src.astype(jnp.float32))
+    adst_bd = _block_diag(a_dst.astype(jnp.float32))
+    kernel = functools.partial(_gat_kernel, num_heads=num_heads, dh=dh)
+    fixed = lambda i: (0, 0)  # noqa: E731 — weights: same block for every program
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, HD), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, num_heads), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, num_heads), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, Dout), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dout), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, Dout), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, Dout), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        h.astype(jnp.float32), attend.astype(jnp.float32), wv.astype(jnp.float32),
+        asrc_bd, adst_bd, wo.astype(jnp.float32), bo.astype(jnp.float32)[None, :],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_gat(h, attend, wv, a_src, a_dst, wo, bo, num_heads: int):
+    """Pallas-fused GAT forward; backward = XLA autodiff of gat_math."""
+    return _fused_gat_fwd_impl(h, attend, wv, a_src, a_dst, wo, bo, num_heads)
+
+
+def _fwd(h, attend, wv, a_src, a_dst, wo, bo, num_heads):
+    out = _fused_gat_fwd_impl(h, attend, wv, a_src, a_dst, wo, bo, num_heads)
+    return out, (h, attend, wv, a_src, a_dst, wo, bo)
+
+
+def _bwd(num_heads, res, g):
+    h, attend, wv, a_src, a_dst, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: gat_math(*a, num_heads=num_heads), h, attend, wv, a_src, a_dst, wo, bo
+    )
+    return vjp(g)
+
+
+fused_gat.defvjp(_fwd, _bwd)
