@@ -14,7 +14,7 @@ from typing import List, Tuple
 import numpy as np
 
 from mmtraj.config import SCENES
-from mmtraj.data.parser import read_annotation_file
+from mmtraj.data.native import read_annotation_file_fast as read_annotation_file
 from mmtraj.data.windower import make_windows
 
 
