@@ -12,13 +12,25 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import numpy as np
 
 from mmtraj.config import Config, DataConfig, ModelConfig, TrainConfig
 from mmtraj.data.transforms import NormStats
+
+
+class Checkpoint(NamedTuple):
+    """A restored checkpoint.  opt_leaves is the flattened optimizer state
+    (present only for resume-capable checkpoints); rebuild the pytree with
+    jax.tree.unflatten against optimizer.init(params)'s structure."""
+
+    params: Any
+    stats: NormStats
+    config: Config
+    step: int
+    opt_leaves: Optional[List[np.ndarray]]
 
 
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -58,7 +70,16 @@ def config_from_json(s: str) -> Config:
 # -- npz shim (stable interchange format) -----------------------------------
 
 
-def save_npz(path: str, params: Any, stats: NormStats, cfg: Config, step: int = 0) -> None:
+def save_npz(
+    path: str,
+    params: Any,
+    stats: NormStats,
+    cfg: Config,
+    step: int = 0,
+    opt_state: Any = None,
+) -> None:
+    """Atomic write (tmp + rename) so a crash mid-save never corrupts the
+    resume point (SURVEY.md §5: checkpoint-resume is the recovery story)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(jax.device_get(params), "params/")
     flat["stats/mean"] = np.asarray(stats.mean)
@@ -67,18 +88,27 @@ def save_npz(path: str, params: Any, stats: NormStats, cfg: Config, step: int = 
     flat["meta/config_json"] = np.frombuffer(
         config_to_json(cfg).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **flat)
+    if opt_state is not None:
+        for i, leaf in enumerate(jax.tree.leaves(jax.device_get(opt_state))):
+            flat[f"opt/{i}"] = np.asarray(leaf)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
 
-def load_npz(path: str) -> Tuple[Any, NormStats, Config, int]:
+def load_npz(path: str) -> Checkpoint:
     with np.load(path if path.endswith(".npz") else path + ".npz") as z:
         flat = {k: z[k] for k in z.files}
     cfg = config_from_json(bytes(flat.pop("meta/config_json")).decode("utf-8"))
     step = int(flat.pop("meta/step"))
     stats = NormStats(flat.pop("stats/mean"), flat.pop("stats/std"))
+    opt_keys = sorted(
+        (k for k in flat if k.startswith("opt/")), key=lambda k: int(k.split("/")[1])
+    )
+    opt_leaves = [flat.pop(k) for k in opt_keys] or None
     params = _unflatten(flat)["params"]
     params = jax.tree.map(lambda a: jax.numpy.asarray(a), params)
-    return params, stats, cfg, step
+    return Checkpoint(params, stats, cfg, step, opt_leaves)
 
 
 # -- Orbax native path -------------------------------------------------------
@@ -99,7 +129,7 @@ def save_orbax(path: str, params: Any, stats: NormStats, cfg: Config, step: int 
         f.write(config_to_json(cfg))
 
 
-def load_orbax(path: str) -> Tuple[Any, NormStats, Config, int]:
+def load_orbax(path: str) -> Checkpoint:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -108,21 +138,23 @@ def load_orbax(path: str) -> Tuple[Any, NormStats, Config, int]:
     with open(os.path.join(path, "mmtraj_config.json")) as f:
         cfg = config_from_json(f.read())
     stats = NormStats(np.asarray(tree["stats"]["mean"]), np.asarray(tree["stats"]["std"]))
-    return tree["params"], stats, cfg, int(tree["step"])
+    return Checkpoint(tree["params"], stats, cfg, int(tree["step"]), None)
 
 
 # -- format-sniffing front door ---------------------------------------------
 
 
-def save(path: str, params: Any, stats: NormStats, cfg: Config, step: int = 0) -> None:
+def save(
+    path: str, params: Any, stats: NormStats, cfg: Config, step: int = 0, opt_state: Any = None
+) -> None:
     """Save a checkpoint; `.npz` suffix selects the shim, else Orbax."""
     if path.endswith(".npz"):
-        save_npz(path, params, stats, cfg, step)
+        save_npz(path, params, stats, cfg, step, opt_state)
     else:
         save_orbax(path, params, stats, cfg, step)
 
 
-def load(path: str) -> Tuple[Any, NormStats, Config, int]:
+def load(path: str) -> Checkpoint:
     if path.endswith(".npz") or os.path.isfile(path + ".npz") or os.path.isfile(path):
         try:
             return load_npz(path)

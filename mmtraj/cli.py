@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--data-parallel", action="store_true")
     tp.add_argument("--synthetic", action="store_true",
                     help="generate synthetic data into --data-dir first")
+    tp.add_argument("--resume", action="store_true",
+                    help="resume from {out-dir}/checkpoint.npz if present")
+    tp.add_argument("--ckpt-every", type=int, default=None,
+                    help="periodic checkpoint interval in steps (enables resume)")
+    tp.add_argument("--profile", action="store_true",
+                    help="write a jax.profiler trace to {out-dir}/profile")
+    tp.add_argument("--debug-nans", action="store_true",
+                    help="raise on first NaN in any jitted op (slow)")
 
     ep = sub.add_parser("eval", help="evaluate a checkpoint (best-of-K ADE/FDE)")
     ep.add_argument("--ckpt", required=True)
@@ -69,6 +77,7 @@ def _apply_overrides(cfg, args):
         "lr": getattr(args, "lr", None), "seed": getattr(args, "seed", None),
         "out_dir": getattr(args, "out_dir", None), "k_samples": args.k,
         "eval_every": getattr(args, "eval_every", None),
+        "ckpt_every": getattr(args, "ckpt_every", None),
     }.items() if v is not None}
     if getattr(args, "data_parallel", False):
         tk["data_parallel"] = True
@@ -91,13 +100,17 @@ def main(argv=None) -> int:
 
     if args.cmd == "train":
         from mmtraj.train import fit
+        from mmtraj.utils.profiling import enable_nan_debugging, trace_ctx
 
         cfg = _apply_overrides(get_config(args.config), args)
         if args.synthetic:
             from mmtraj.data.synthetic import write_synthetic_dataset
 
             write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
-        result = fit(cfg)
+        if args.debug_nans:
+            enable_nan_debugging()
+        with trace_ctx(cfg.train.out_dir, enabled=args.profile):
+            result = fit(cfg, resume=args.resume)
         if result.eval_metrics:
             print(
                 f"final: best-of-{result.eval_metrics['k']} "
@@ -115,8 +128,9 @@ def main(argv=None) -> int:
         from mmtraj.evaluate import evaluate
         from mmtraj.models.forecaster import Forecaster
 
-        params, stats, cfg, step = ckpt_lib.load(args.ckpt)
-        cfg = _apply_overrides(cfg, args)
+        ck = ckpt_lib.load(args.ckpt)
+        params, stats, step = ck.params, ck.stats, ck.step
+        cfg = _apply_overrides(ck.config, args)
         windows = load_scene_windows(
             cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
             cfg.data.stride, cfg.data.min_agents,

@@ -65,6 +65,7 @@ class TrainConfig:
     k_samples: int = 20  # K for best-of-K eval (BASELINE.json:9)
     eval_every: int = 500
     log_every: int = 100
+    ckpt_every: int = 0  # 0 = checkpoint only at the end; >0 = periodic+resume
     seed: int = 0
     out_dir: str = "runs/default"
     data_parallel: bool = False  # shard batch over a jax Mesh (BASELINE.json:11)

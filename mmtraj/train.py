@@ -79,8 +79,13 @@ def fit(
     data_dir: Optional[str] = None,
     logger: Optional[MetricsLogger] = None,
     mesh=None,
+    resume: bool = False,
 ) -> TrainResult:
-    """End-to-end training per the config (entry point behind `cli train`)."""
+    """End-to-end training per the config (entry point behind `cli train`).
+
+    With ``resume=True`` and an existing ``{out_dir}/checkpoint.npz``,
+    restores params + optimizer state + step and continues — the single-host
+    failure-recovery story (SURVEY.md §5)."""
     data_dir = data_dir or cfg.data.data_dir
     t_setup = time.time()
     train_w, test_w = load_split(
@@ -102,6 +107,19 @@ def fit(
     params = model.init(jax.random.PRNGKey(cfg.train.seed))
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
+
+    ckpt_path = os.path.join(cfg.train.out_dir, "checkpoint.npz") if cfg.train.out_dir else None
+    start_step = 0
+    if resume and ckpt_path and os.path.exists(ckpt_path):
+        ck = ckpt_lib.load(ckpt_path)
+        params = ck.params
+        stats = ck.stats
+        start_step = ck.step
+        if ck.opt_leaves is not None:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state),
+                [jax.numpy.asarray(a) for a in ck.opt_leaves],
+            )
     if mesh is not None:
         params = jax.device_put(params, replicated(mesh))
         opt_state = jax.device_put(opt_state, replicated(mesh))
@@ -109,8 +127,8 @@ def fit(
 
     logger = logger or MetricsLogger(cfg.train.out_dir)
     logger.log(
-        0,
-        event="setup",
+        start_step,
+        event="setup" if start_step == 0 else "resume",
         train_windows=len(train_ds),
         test_windows=len(test_ds) if test_ds else 0,
         dropped_agents=train_ds.n_dropped,
@@ -119,21 +137,24 @@ def fit(
         setup_s=round(time.time() - t_setup, 2),
     )
 
-    rng = np.random.default_rng(cfg.train.seed)
+    rng = np.random.default_rng(cfg.train.seed + start_step)
     history = []
     eval_metrics: Dict[str, float] = {}
-    step = 0
+    step = start_step
     t_train = time.time()
     while step < cfg.train.steps:
         for idx in device_ds.epoch_indices(cfg.train.batch_size, rng):
             xy, mask = device_ds.batch(idx)
             params, opt_state, loss = step_fn(params, opt_state, xy, mask)
             step += 1
-            if step % cfg.train.log_every == 0 or step == 1:
+            if step % cfg.train.log_every == 0 or step == start_step + 1:
                 lv = float(loss)
                 history.append((step, lv))
-                sps = step / max(time.time() - t_train, 1e-9)
+                sps = (step - start_step) / max(time.time() - t_train, 1e-9)
                 logger.log(step, loss=lv, steps_per_sec=round(sps, 2))
+            if ckpt_path and cfg.train.ckpt_every > 0 and step % cfg.train.ckpt_every == 0:
+                ckpt_lib.save(ckpt_path, params, stats, cfg, step, opt_state)
+                logger.log(step, event="checkpoint", path=ckpt_path)
             if test_ds is not None and cfg.train.eval_every > 0 and step % cfg.train.eval_every == 0:
                 eval_metrics = evaluate(
                     model, params, stats, test_ds, cfg.train.k_samples,
@@ -150,9 +171,8 @@ def fit(
         )
         logger.log(step, **{f"eval_{k}": v for k, v in eval_metrics.items()})
 
-    if cfg.train.out_dir:
-        path = os.path.join(cfg.train.out_dir, "checkpoint.npz")
-        ckpt_lib.save(path, params, stats, cfg, step)
-        logger.log(step, event="checkpoint", path=path)
+    if ckpt_path:
+        ckpt_lib.save(ckpt_path, params, stats, cfg, step, opt_state)
+        logger.log(step, event="checkpoint", path=ckpt_path)
 
     return TrainResult(params, stats, cfg, history, eval_metrics)

@@ -72,8 +72,10 @@ def test_checkpoint_roundtrip_bit_identical_eval(synth_dir, tmp_path):
     result = fit(cfg)
 
     path = os.path.join(cfg.train.out_dir, "checkpoint.npz")
-    params, stats, cfg2, step = ckpt_lib.load(path)
+    ck = ckpt_lib.load(path)
+    params, stats, step = ck.params, ck.stats, ck.step
     assert step == 30
+    assert ck.opt_leaves is not None  # resume-capable
     for a, b in zip(jax.tree.leaves(result.params), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -90,7 +92,28 @@ def test_orbax_checkpoint_roundtrip(synth_dir, tmp_path):
     result = fit(cfg)
     path = str(tmp_path / "orbax_ckpt")
     ckpt_lib.save(path, result.params, result.stats, cfg, 5)
-    params, stats, cfg2, step = ckpt_lib.load(path)
-    assert step == 5 and cfg2.model == cfg.model
-    for a, b in zip(jax.tree.leaves(result.params), jax.tree.leaves(params)):
+    ck = ckpt_lib.load(path)
+    assert ck.step == 5 and ck.config.model == cfg.model
+    for a, b in zip(jax.tree.leaves(result.params), jax.tree.leaves(ck.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_from_checkpoint(synth_dir, tmp_path):
+    """Train 40 steps with periodic ckpt, kill, resume to 80; the resumed run
+    must pick up params + optimizer state + step."""
+    import dataclasses
+
+    cfg = _quick_cfg("2", synth_dir, tmp_path, steps=40)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, ckpt_every=20, log_every=20))
+    r1 = fit(cfg)
+    assert r1.history[-1][0] == 40
+
+    cfg2 = cfg.replace(
+        train=dataclasses.replace(cfg.train, steps=80, ckpt_every=20, log_every=20)
+    )
+    r2 = fit(cfg2, resume=True)
+    steps_logged = [s for s, _ in r2.history]
+    assert steps_logged[0] > 40  # continued, not restarted
+    assert steps_logged[-1] == 80
+    ck = ckpt_lib.load(os.path.join(cfg.train.out_dir, "checkpoint.npz"))
+    assert ck.step == 80
