@@ -51,7 +51,10 @@ def main() -> int:
 
     cfg = get_config("4")  # flagship: multi-head GAT, GMM, dense crowds
     on_tpu = jax.default_backend() == "tpu"
-    model_cfg = dataclasses.replace(cfg.model, use_pallas=on_tpu)
+    # The canonical XLA GAT path measures fastest at these shapes (106k/s vs
+    # 85k/s for the best fused-Pallas variant — see mmtraj/ops/fused_gat.py
+    # for the comparison log); the kernel stays available via use_pallas.
+    model_cfg = dataclasses.replace(cfg.model, use_pallas=False)
     B, N, TO, TP, K = 64, cfg.data.n_max, cfg.data.obs_len, cfg.data.pred_len, 20
     ITERS = 20 if on_tpu else 2
 
