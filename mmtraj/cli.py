@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     gp.add_argument("--data-dir", required=True)
     gp.add_argument("--seed", type=int, default=0)
     gp.add_argument("--n-frames", type=int, default=600)
+
+    vp = sub.add_parser("visualize", help="render K-sample predictions to a PNG")
+    vp.add_argument("--ckpt", required=True)
+    _add_common(vp)
+    vp.add_argument("--out", default="predictions.png")
+    vp.add_argument("--windows", type=int, default=6)
+    vp.add_argument("--seed", type=int, default=0)
     return ap
 
 
@@ -143,6 +150,40 @@ def main(argv=None) -> int:
             f"agents={m['n_agents']}: best-of-{m['k']} "
             f"ADE={m['min_ade']:.4f}m FDE={m['min_fde']:.4f}m"
         )
+        return 0
+
+    if args.cmd == "visualize":
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mmtraj import checkpoint as ckpt_lib
+        from mmtraj.data.collate import WindowDataset
+        from mmtraj.data.registry import load_scene_windows
+        from mmtraj.models.forecaster import Forecaster
+        from mmtraj.utils.viz import render_predictions
+
+        ck = ckpt_lib.load(args.ckpt)
+        cfg = _apply_overrides(ck.config, args)
+        windows = load_scene_windows(
+            cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
+            cfg.data.stride, cfg.data.min_agents,
+        )
+        rng = np.random.default_rng(args.seed)
+        pick = rng.choice(len(windows), size=min(args.windows, len(windows)), replace=False)
+        ds = WindowDataset([windows[i] for i in pick], cfg.data.n_max)
+        model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+        xy, mask = jnp.asarray(ds.xy), jnp.asarray(ds.mask)
+        rollouts = model.rollout_k(
+            ck.params, xy[:, :, : cfg.data.obs_len], mask, ck.stats,
+            jax.random.PRNGKey(args.seed), cfg.train.k_samples,
+        )
+        out = render_predictions(
+            args.out, np.asarray(xy), np.asarray(mask), np.asarray(rollouts),
+            cfg.data.obs_len, args.windows,
+        )
+        print(f"wrote {out} ({len(pick)} windows, K={cfg.train.k_samples}, "
+              f"scene={cfg.data.scene})")
         return 0
 
     return 1

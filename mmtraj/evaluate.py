@@ -10,6 +10,7 @@ program).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -22,8 +23,13 @@ from mmtraj.metrics import displacement_errors
 from mmtraj.models.forecaster import Forecaster
 
 
+@functools.lru_cache(maxsize=32)
 def _eval_sums(model: Forecaster, k: int):
-    """Jittable per-batch evaluator -> (min_ade_sum, min_fde_sum, n_valid)."""
+    """Jittable per-batch evaluator -> (min_ade_sum, min_fde_sum, n_valid).
+
+    Cached per (model, k): periodic eval during training must reuse the
+    compiled program, not re-jit each call (Forecaster is hashable: it wraps
+    a frozen config + ints)."""
 
     def fn(params, xy, mask, stats_mean, stats_std, key):
         stats = NormStats(stats_mean, stats_std)

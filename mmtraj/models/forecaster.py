@@ -88,6 +88,18 @@ class Forecaster:
         self.obs_len = obs_len
         self.pred_len = pred_len
 
+    # Value semantics (frozen config + ints) so jit/caching layers can key on
+    # the model identity across instances.
+    def __eq__(self, other):
+        return (
+            isinstance(other, Forecaster)
+            and (self.cfg, self.obs_len, self.pred_len)
+            == (other.cfg, other.obs_len, other.pred_len)
+        )
+
+    def __hash__(self):
+        return hash((self.cfg, self.obs_len, self.pred_len))
+
     # -- init ---------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
         return init_params(key, self.cfg)

@@ -29,6 +29,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator: Optional[str] = None) -> None:
+    """Multi-host bring-up: call before make_mesh() on each host.
+
+    Single-host runs never need this.  On a multi-host slice,
+    `jax.distributed.initialize` discovers peers (args auto-detected on Cloud
+    TPU; pass coordinator 'host:port' elsewhere), after which jax.devices()
+    spans the slice and the same 1-D mesh/sharding code scales over ICI+DCN
+    (SURVEY.md §2.7 — the reference has no distributed path to match)."""
+    import jax.distributed
+
+    if coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator)
+    else:
+        jax.distributed.initialize()
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, n: Optional[int] = None) -> Mesh:
     """1-D data-parallel mesh over the first n (default: all) local devices."""
     if devices is None:

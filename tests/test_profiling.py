@@ -1,0 +1,33 @@
+"""Profiling/debug utility tests (SURVEY.md §5)."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtraj.utils.profiling import annotate, assert_finite_tree, trace_ctx
+
+
+def test_trace_ctx_writes_profile(tmp_path):
+    out = str(tmp_path / "run")
+    with trace_ctx(out, enabled=True):
+        with annotate("test-region"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    files = glob.glob(os.path.join(out, "profile", "**", "*"), recursive=True)
+    assert any(os.path.isfile(f) for f in files)
+
+
+def test_trace_ctx_disabled_writes_nothing(tmp_path):
+    out = str(tmp_path / "run2")
+    with trace_ctx(out, enabled=False):
+        jnp.ones(4).sum().block_until_ready()
+    assert not os.path.exists(os.path.join(out, "profile"))
+
+
+def test_assert_finite_tree():
+    assert_finite_tree({"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}})
+    with pytest.raises(AssertionError):
+        assert_finite_tree({"a": jnp.array([1.0, np.nan])})
