@@ -42,6 +42,10 @@ class ModelConfig:
     rho_max: float = 0.99
     dtype: str = "float32"  # "bfloat16" runs matmuls in bf16 (loss stays f32)
     use_pallas: bool = False  # opt-in fused Pallas GAT kernel (XLA canonical)
+    # Opt-in fully-fused Pallas rollout decoder (whole 12-step loop in one
+    # kernel, mmtraj/ops/fused_decoder.py).  GRU+social+GMM only; sample
+    # streams differ from the XLA path (statistically identical).
+    use_fused_decoder: bool = False
 
 
 @dataclass(frozen=True)

@@ -21,8 +21,6 @@ host<->device per-frame round trips collapse away, SURVEY.md §3.1).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
@@ -169,22 +167,40 @@ class Forecaster:
         Offsets are sampled from the head (GMM) or taken directly
         (deterministic); positions integrate on-device and feed the next
         step's proximity graph.
+
+        All randomness is drawn in ONE batched call before the scan and
+        sliced per step (gumbel for component choice + standard normals).
+        Splitting/drawing inside the scan body measured ~2x the entire
+        rollout's runtime on v5e (threefry is VPU-heavy and the per-step
+        dependency chain blocks overlap); one big draw is amortized and
+        matches the fused Pallas decoder's stream exactly
+        (mmtraj/ops/fused_decoder.py), so the two paths sample identical
+        trajectories.
         """
         cfg = self.cfg
-        keys = jax.random.split(key, self.pred_len)
+        B, N = mask.shape
+        T = self.pred_len
+        if cfg.head == "gmm":
+            kg, kn = jax.random.split(key)
+            gumbel = jax.random.gumbel(kg, (B, T, N, cfg.num_mixtures), jnp.float32)
+            normal = jax.random.normal(kn, (B, T, N, 2), jnp.float32)
+            xs = (jnp.moveaxis(gumbel, 1, 0), jnp.moveaxis(normal, 1, 0))
+        else:
+            xs = (jnp.zeros((T, 0)), jnp.zeros((T, 0)))
 
-        def body(state, k):
+        def body(state, x):
+            gum_t, nrm_t = x
             carry, xy = state
             out = self._head(params, carry.h)
             if cfg.head == "gmm":
-                dxy_n = gmm.sample(out, k)
+                dxy_n = gmm.sample_from(out, gum_t, nrm_t)
             else:
                 dxy_n = out
             xy_new = xy + denormalize(dxy_n, stats)
             carry = _step(params["dec"], cfg, carry, dxy_n, xy_new, mask)
             return (carry, xy_new), xy_new
 
-        _, traj = jax.lax.scan(body, (carry, xy_last), keys)
+        _, traj = jax.lax.scan(body, (carry, xy_last), xs)
         return jnp.moveaxis(traj, 0, 2)  # (B, N, Tp, 2)
 
     # -- public API ----------------------------------------------------------
@@ -235,5 +251,30 @@ class Forecaster:
         carry_k = Carry(h=tile(carry.h), c=tile(carry.c))
         xy_last = tile(xy_obs[:, :, -1])
         mask_k = tile(mask)
-        traj = self.decode_rollout(params, carry_k, xy_last, mask_k, stats, key)
+        if self.cfg.use_fused_decoder:
+            traj = self._decode_fused(params, carry_k, xy_last, mask_k, stats, key)
+        else:
+            traj = self.decode_rollout(params, carry_k, xy_last, mask_k, stats, key)
         return traj.reshape((k, B) + traj.shape[1:])
+
+    def _decode_fused(self, params: Params, carry: Carry, xy_last, mask, stats, key):
+        """Whole-rollout fused Pallas decoder (mmtraj/ops/fused_decoder.py)."""
+        from mmtraj.ops.fused_decoder import fused_decode, permute_head
+
+        cfg = self.cfg
+        assert cfg.cell == "gru" and cfg.social and cfg.head == "gmm", (
+            "fused decoder covers the flagship GRU+social+GMM configuration"
+        )
+        Bk, N = mask.shape
+        T, M = self.pred_len, cfg.num_mixtures
+        kg, kn = jax.random.split(key)
+        gumbel = jax.random.gumbel(kg, (Bk, T, N, M), dtype=jnp.float32)
+        normal = jax.random.normal(kn, (Bk, T, N, 2), dtype=jnp.float32)
+        hw, hb = permute_head(params["head"]["w"], params["head"]["b"], M)
+        traj = fused_decode(
+            carry.h, xy_last, mask, gumbel, normal, params["dec"], hw, hb,
+            num_heads=cfg.num_heads, num_mixtures=M, radius=cfg.adjacency_radius,
+            sigma_min=cfg.sigma_min, rho_max=cfg.rho_max,
+            stats_mean=stats.mean, stats_std=stats.std,
+        )
+        return jnp.moveaxis(traj, 1, 2)  # (Bk, N, T, 2)

@@ -74,10 +74,23 @@ def sample(params: GMMParams, key: jax.Array) -> jnp.ndarray:
     (BASELINE.json:5 "K-sample rollouts run fully vectorized via vmap").
     """
     k_comp, k_norm = jax.random.split(key)
+    gumbel = jax.random.gumbel(k_comp, params.logits.shape, dtype=jnp.float32)
+    z = jax.random.normal(k_norm, params.rho.shape[:-1] + (2,), dtype=jnp.float32)
+    return sample_from(params, gumbel, z)
+
+
+def sample_from(params: GMMParams, gumbel: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Sample consuming pre-drawn randoms: gumbel (..., M), z (..., 2) ~ N(0,1).
+
+    Split out from `sample` so autoregressive rollouts can batch ALL their
+    randoms into one threefry call outside the `lax.scan` (measured: per-step
+    split+draw inside the scan was ~2x the whole rollout's runtime on v5e)
+    and so the fused Pallas decoder (mmtraj/ops/fused_decoder.py) can consume
+    the IDENTICAL stream, making kernel-vs-XLA equivalence testable exactly.
+    """
     # Gumbel-max component choice expressed as a one-hot reduction: gathers
     # (take_along_axis) lower to TPU gather ops that measured ~150x slower
     # than the whole rest of the rollout step; one-hot einsum stays on the VPU.
-    gumbel = jax.random.gumbel(k_comp, params.logits.shape, dtype=jnp.float32)
     scores = params.logits + gumbel
     onehot = jax.nn.one_hot(
         jnp.argmax(scores, axis=-1), params.logits.shape[-1], dtype=jnp.float32
@@ -85,7 +98,6 @@ def sample(params: GMMParams, key: jax.Array) -> jnp.ndarray:
     mu = jnp.einsum("...m,...md->...d", onehot, params.mu)
     sigma = jnp.einsum("...m,...md->...d", onehot, params.sigma)
     rho = jnp.einsum("...m,...m->...", onehot, params.rho)
-    z = jax.random.normal(k_norm, rho.shape + (2,), dtype=jnp.float32)
     dx = mu[..., 0] + sigma[..., 0] * z[..., 0]
     dy = mu[..., 1] + sigma[..., 1] * (
         rho * z[..., 0] + jnp.sqrt(jnp.maximum(1.0 - rho**2, 1e-6)) * z[..., 1]
