@@ -1,10 +1,12 @@
-"""Checkpoint save/load: Orbax native + a flat-npz export/import shim.
+"""Checkpoint save/load: Orbax native + npz/torch/h5 interchange shims.
 
 BASELINE.json:5 requires "checkpoint formats match the reference"; the
 reference was not mounted (SURVEY.md §0) so its exact format is unknowable
-here.  Per SURVEY.md §5: Orbax is the native format, and the npz shim gives a
-stable, dependency-free interchange format (flat '/'-joined keys) that an
-import/export adapter can map onto the reference's layout once it is visible.
+here.  Per SURVEY.md §5: Orbax is the native format; the npz shim gives a
+stable, dependency-free interchange format (flat '/'-joined keys); and the
+torch `.pt` / HDF5 `.h5` adapters cover the two formats the reference family
+actually ships (torch.save state_dicts and TF/Keras h5), so matching the
+real layout once visible is a key-rename, not new machinery.
 """
 
 from __future__ import annotations
@@ -141,20 +143,112 @@ def load_orbax(path: str) -> Checkpoint:
     return Checkpoint(tree["params"], stats, cfg, int(tree["step"]), None)
 
 
+# -- torch .pt interchange ----------------------------------------------------
+#
+# SURVEY.md §5 flags the reference's checkpoint format as either torch.save
+# or TF/Keras .h5 (unverifiable, mount empty).  Both adapters below exist so
+# that whichever it turns out to be, matching it is a key-rename, not new
+# machinery.  Layout follows the torch convention: a dict with a 'state_dict'
+# of '.'-joined parameter names -> tensors.
+
+
+def save_torch(
+    path: str, params: Any, stats: NormStats, cfg: Config, step: int = 0
+) -> None:
+    import torch
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(jax.device_get(params))
+    payload = {
+        "state_dict": {
+            k.replace("/", "."): torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in flat.items()
+        },
+        "stats": {
+            "mean": torch.from_numpy(np.asarray(stats.mean)),
+            "std": torch.from_numpy(np.asarray(stats.std)),
+        },
+        "config_json": config_to_json(cfg),
+        "step": int(step),
+    }
+    tmp = path + ".tmp"
+    torch.save(payload, tmp)
+    os.replace(tmp, path)
+
+
+def load_torch(path: str) -> Checkpoint:
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    flat = {k.replace(".", "/"): v.numpy() for k, v in payload["state_dict"].items()}
+    params = jax.tree.map(lambda a: jax.numpy.asarray(a), _unflatten(flat))
+    stats = NormStats(
+        np.asarray(payload["stats"]["mean"]), np.asarray(payload["stats"]["std"])
+    )
+    cfg = config_from_json(payload["config_json"])
+    return Checkpoint(params, stats, cfg, int(payload["step"]), None)
+
+
+# -- Keras-style .h5 interchange ----------------------------------------------
+
+
+def save_h5(path: str, params: Any, stats: NormStats, cfg: Config, step: int = 0) -> None:
+    import h5py
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        for k, v in _flatten(jax.device_get(params), "params/").items():
+            f.create_dataset(k, data=v)
+        f.create_dataset("stats/mean", data=np.asarray(stats.mean))
+        f.create_dataset("stats/std", data=np.asarray(stats.std))
+        f.attrs["config_json"] = config_to_json(cfg)
+        f.attrs["step"] = int(step)
+    os.replace(tmp, path)
+
+
+def load_h5(path: str) -> Checkpoint:
+    import h5py
+
+    flat: Dict[str, np.ndarray] = {}
+    with h5py.File(path, "r") as f:
+        cfg = config_from_json(f.attrs["config_json"])
+        step = int(f.attrs["step"])
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                flat[name] = obj[()]
+
+        f.visititems(visit)
+    stats = NormStats(flat.pop("stats/mean"), flat.pop("stats/std"))
+    params = jax.tree.map(lambda a: jax.numpy.asarray(a), _unflatten(flat)["params"])
+    return Checkpoint(params, stats, cfg, step, None)
+
+
 # -- format-sniffing front door ---------------------------------------------
 
 
 def save(
     path: str, params: Any, stats: NormStats, cfg: Config, step: int = 0, opt_state: Any = None
 ) -> None:
-    """Save a checkpoint; `.npz` suffix selects the shim, else Orbax."""
+    """Save a checkpoint; suffix selects the format: `.npz` flat-numpy shim,
+    `.pt`/`.pth` torch interchange, `.h5`/`.hdf5` HDF5 interchange, anything
+    else Orbax (native)."""
     if path.endswith(".npz"):
         save_npz(path, params, stats, cfg, step, opt_state)
+    elif path.endswith((".pt", ".pth")):
+        save_torch(path, params, stats, cfg, step)
+    elif path.endswith((".h5", ".hdf5")):
+        save_h5(path, params, stats, cfg, step)
     else:
         save_orbax(path, params, stats, cfg, step)
 
 
 def load(path: str) -> Checkpoint:
+    if path.endswith((".pt", ".pth")):
+        return load_torch(path)
+    if path.endswith((".h5", ".hdf5")):
+        return load_h5(path)
     if path.endswith(".npz") or os.path.isfile(path + ".npz") or os.path.isfile(path):
         try:
             return load_npz(path)

@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
     vp.add_argument("--out", default="predictions.png")
     vp.add_argument("--windows", type=int, default=6)
     vp.add_argument("--seed", type=int, default=0)
+
+    cp = sub.add_parser(
+        "convert",
+        help="convert a checkpoint between formats (orbax dir / .npz / .pt / .h5)",
+    )
+    cp.add_argument("--src", required=True, help="source checkpoint path")
+    cp.add_argument("--dst", required=True,
+                    help="destination path; suffix selects the format")
     return ap
 
 
@@ -184,6 +192,14 @@ def main(argv=None) -> int:
         )
         print(f"wrote {out} ({len(pick)} windows, K={cfg.train.k_samples}, "
               f"scene={cfg.data.scene})")
+        return 0
+
+    if args.cmd == "convert":
+        from mmtraj import checkpoint as ckpt_lib
+
+        ck = ckpt_lib.load(args.src)
+        ckpt_lib.save(args.dst, ck.params, ck.stats, ck.config, ck.step)
+        print(f"converted {args.src} -> {args.dst} (step={ck.step})")
         return 0
 
     return 1

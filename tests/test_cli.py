@@ -35,6 +35,28 @@ def test_train_then_eval_cli(synth_dir, tmp_path, capsys):
     assert "best-of-2" in captured and "FDE=" in captured
 
 
+def test_convert_cli_roundtrips_across_formats(synth_dir, tmp_path, capsys):
+    """train -> convert npz -> .pt -> .h5 -> eval gives identical metrics."""
+    out = str(tmp_path / "conv_run")
+    assert main(
+        [
+            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "zara2",
+            "--steps", "5", "--batch-size", "8", "--k", "2", "--n-max", "24",
+            "--out-dir", out, "--eval-every", "0",
+        ]
+    ) == 0
+    src = out + "/checkpoint.npz"
+    pt, h5 = str(tmp_path / "ck.pt"), str(tmp_path / "ck.h5")
+    assert main(["convert", "--src", src, "--dst", pt]) == 0
+    assert main(["convert", "--src", pt, "--dst", h5]) == 0
+    capsys.readouterr()
+    results = []
+    for ckpt in (src, pt, h5):
+        assert main(["eval", "--ckpt", ckpt, "--data-dir", synth_dir, "--k", "2"]) == 0
+        results.append(capsys.readouterr().out.split("ADE=")[1])
+    assert results[0] == results[1] == results[2]
+
+
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])

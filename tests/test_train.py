@@ -98,6 +98,22 @@ def test_orbax_checkpoint_roundtrip(synth_dir, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_torch_and_h5_interchange_roundtrip(synth_dir, tmp_path):
+    """The torch .pt and HDF5 .h5 interchange adapters (SURVEY.md §5: the
+    reference's format is one of these) round-trip params/stats/config
+    exactly through the sniffing save/load front door."""
+    cfg = _quick_cfg("2", synth_dir, tmp_path, steps=5)
+    result = fit(cfg)
+    for fname in ("ck.pt", "ck.h5"):
+        path = str(tmp_path / fname)
+        ckpt_lib.save(path, result.params, result.stats, cfg, 5)
+        ck = ckpt_lib.load(path)
+        assert ck.step == 5 and ck.config.model == cfg.model
+        for a, b in zip(jax.tree.leaves(result.params), jax.tree.leaves(ck.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(ck.stats.mean), np.asarray(result.stats.mean))
+
+
 def test_resume_continues_from_checkpoint(synth_dir, tmp_path):
     """Train 40 steps with periodic ckpt, kill, resume to 80; the resumed run
     must pick up params + optimizer state + step."""
