@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(ep)
     ep.add_argument("--batch-size", type=int, default=64)
     ep.add_argument("--seed", type=int, default=0)
+    ep.add_argument("--data-parallel", action="store_true",
+                    help="shard eval batches over all local devices")
 
     gp = sub.add_parser("generate-data", help="write the synthetic ETH/UCY-format dataset")
     gp.add_argument("--data-dir", required=True)
@@ -152,7 +154,13 @@ def main(argv=None) -> int:
         )
         ds = WindowDataset(windows, cfg.data.n_max)
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
-        m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size, args.seed)
+        mesh = None
+        if args.data_parallel:
+            from mmtraj.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size,
+                     args.seed, mesh=mesh)
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
             f"agents={m['n_agents']}: best-of-{m['k']} "

@@ -24,12 +24,15 @@ from mmtraj.models.forecaster import Forecaster
 
 
 @functools.lru_cache(maxsize=32)
-def _eval_sums(model: Forecaster, k: int):
+def _eval_sums(model: Forecaster, k: int, mesh=None):
     """Jittable per-batch evaluator -> (min_ade_sum, min_fde_sum, n_valid).
 
-    Cached per (model, k): periodic eval during training must reuse the
+    Cached per (model, k, mesh): periodic eval during training must reuse the
     compiled program, not re-jit each call (Forecaster is hashable: it wraps
-    a frozen config + ints)."""
+    a frozen config + ints).  With a mesh the batch is sharded over 'data'
+    (each chip rolls out its slice of windows for all K samples) and the
+    masked sums reduce over ICI — the same SPMD shape as training
+    (BASELINE.json:11)."""
 
     def fn(params, xy, mask, stats_mean, stats_std, key):
         stats = NormStats(stats_mean, stats_std)
@@ -42,7 +45,16 @@ def _eval_sums(model: Forecaster, k: int):
         m = mask.astype(jnp.float32)
         return (ade * m).sum(), (fde * m).sum(), m.sum()
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+    from mmtraj.parallel.mesh import batch_sharding, replicated
+
+    rep, shd = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, shd, shd, rep, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
 
 
 def evaluate(
@@ -53,9 +65,15 @@ def evaluate(
     k: int = 20,
     batch_size: int = 64,
     seed: int = 0,
+    mesh=None,
 ) -> Dict[str, float]:
-    """Full-test-set best-of-K ADE/FDE in world meters."""
-    fn = _eval_sums(model, k)
+    """Full-test-set best-of-K ADE/FDE in world meters.
+
+    ``mesh``: optional jax Mesh; shards each eval batch over its 'data' axis
+    (batch_size is rounded up to a multiple of the mesh size)."""
+    if mesh is not None:
+        batch_size += (-batch_size) % mesh.size
+    fn = _eval_sums(model, k, mesh)
     key = jax.random.PRNGKey(seed)
     n = len(test_ds)
     ade_sum = fde_sum = count = 0.0

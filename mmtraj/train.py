@@ -159,6 +159,7 @@ def fit(
                 eval_metrics = evaluate(
                     model, params, stats, test_ds, cfg.train.k_samples,
                     batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
+                    mesh=mesh,
                 )
                 logger.log(step, **{f"eval_{k}": v for k, v in eval_metrics.items()})
             if step >= cfg.train.steps:
@@ -168,6 +169,7 @@ def fit(
         eval_metrics = evaluate(
             model, params, stats, test_ds, cfg.train.k_samples,
             batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
+            mesh=mesh,
         )
         logger.log(step, **{f"eval_{k}": v for k, v in eval_metrics.items()})
 

@@ -57,6 +57,28 @@ def test_parallel_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_eval_matches_single_device(synth_dir):
+    """evaluate() with a mesh (batch sharded over 8 CPU devices) reports the
+    same best-of-K metrics as the single-device path — same program, same
+    keys, only the sharding differs."""
+    from mmtraj.data.collate import WindowDataset
+    from mmtraj.data.registry import load_scene_windows
+    from mmtraj.evaluate import evaluate
+
+    cfg = get_config("3")
+    model = Forecaster(cfg.model, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    windows = load_scene_windows(synth_dir, "zara2", 8, 12)
+    ds = WindowDataset(windows[:40], cfg.data.n_max)
+
+    m1 = evaluate(model, params, stats, ds, k=3, batch_size=16, mesh=None)
+    m2 = evaluate(model, params, stats, ds, k=3, batch_size=16, mesh=make_mesh())
+    assert m1["n_agents"] == m2["n_agents"]
+    np.testing.assert_allclose(m1["min_ade"], m2["min_ade"], rtol=1e-5)
+    np.testing.assert_allclose(m1["min_fde"], m2["min_fde"], rtol=1e-5)
+
+
 def test_fit_data_parallel_smoke(synth_dir, tmp_path):
     """config-5-style DP training descends on the 8-device CPU mesh."""
     cfg = get_config("5")
