@@ -46,6 +46,11 @@ class ModelConfig:
     # kernel, mmtraj/ops/fused_decoder.py).  GRU+social+GMM only; sample
     # streams differ from the XLA path (statistically identical).
     use_fused_decoder: bool = False
+    # Rematerialize scan bodies on the backward pass (jax.checkpoint): skips
+    # stashing the (T, B, N, N)-scale attention intermediates for grad,
+    # trading recompute FLOPs for HBM traffic/footprint.  Enables much larger
+    # batches; measure before enabling for speed (see ARCHITECTURE.md).
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -99,7 +104,8 @@ def config2() -> Config:
     """BASELINE.json:8 — 5-scene leave-one-out: social graph-attention encoder
     + GRU decoder, deterministic output."""
     return Config(
-        model=ModelConfig(cell="gru", social=True, head="deterministic", num_heads=1),
+        model=ModelConfig(cell="gru", social=True, head="deterministic", num_heads=1,
+                          remat=True),
         data=DataConfig(scene="zara1", n_max=32),
         train=TrainConfig(batch_size=32, k_samples=1),
     )
@@ -109,7 +115,7 @@ def config3() -> Config:
     """BASELINE.json:9 — multimodal K=20 bivariate-Gaussian-mixture decoder
     with best-of-K ADE/FDE eval, masked variable agent counts."""
     return Config(
-        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=1),
+        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=1, remat=True),
         data=DataConfig(scene="zara1", n_max=32),
         train=TrainConfig(batch_size=32, k_samples=20),
     )
@@ -119,7 +125,7 @@ def config4() -> Config:
     """BASELINE.json:10 — multi-head graph attention over dense crowds
     (UCY-univ, 50+ agents/frame) with padded fixed-shape graphs."""
     return Config(
-        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=4),
+        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=4, remat=True),
         data=DataConfig(scene="univ", n_max=64),
         train=TrainConfig(batch_size=16, k_samples=20),
     )
@@ -129,7 +135,7 @@ def config5() -> Config:
     """BASELINE.json:11 — large-batch multi-scene training: vmapped padded
     social graphs + streaming loader, data-parallel over a v4-8/v5e-8 mesh."""
     return Config(
-        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=4),
+        model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=4, remat=True),
         data=DataConfig(scene="univ", n_max=64),
         train=TrainConfig(batch_size=256, k_samples=20, data_parallel=True),
     )

@@ -119,6 +119,8 @@ class Forecaster:
             dxy_t, xy_t = x
             return _step(params["enc"], cfg, carry, dxy_t, xy_t, mask), None
 
+        if cfg.remat:
+            body = jax.checkpoint(body)
         carry, _ = jax.lax.scan(body, carry0, xs)
 
         h = jnp.tanh(dense(params["bridge_h"], carry.h))
@@ -156,6 +158,8 @@ class Forecaster:
             carry = _step(params["dec"], cfg, carry, dxy_t, xy_t, mask)
             return carry, out
 
+        if cfg.remat:
+            body = jax.checkpoint(body)
         _, outs = jax.lax.scan(body, carry, xs)
         # (Tp, B, N, ...) -> (B, N, Tp, ...)
         return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 2), outs)

@@ -128,6 +128,26 @@ def test_loss_jits_and_is_reproducible(rng):
     np.testing.assert_allclose(float(f(params, xy, mask)), float(f(params, xy, mask)))
 
 
+def test_remat_matches_no_remat(rng):
+    """jax.checkpoint on the scan bodies changes scheduling, not math: loss
+    and gradients must match the non-remat model."""
+    import dataclasses
+
+    xy, mask = _batch(rng)
+    outs = []
+    for remat in (False, True):
+        cfg = ModelConfig(remat=remat)
+        model = Forecaster(cfg, OBS, PRED)
+        params = model.init(jax.random.PRNGKey(0))
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss(p, xy, mask, _stats())[0]
+        )(params)
+        outs.append((float(loss), jax.tree.leaves(grads)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, b in zip(outs[0][1], outs[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
 def test_bfloat16_compute_path(rng):
     cfg = ModelConfig(dtype="bfloat16")
     model = Forecaster(cfg, OBS, PRED)
