@@ -21,7 +21,9 @@ from mmtraj.config import SCENES, get_config
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-dir", default=None, help="annotation dir ({scene}.txt files)")
-    p.add_argument("--scene", default=None, choices=SCENES, help="held-out scene")
+    p.add_argument("--scene", default=None, choices=SCENES + ("all",),
+                   help="held-out scene; 'all' (train only) runs the full "
+                        "5-fold leave-one-out protocol and reports the average")
     p.add_argument("--k", type=int, default=None, help="K samples for best-of-K eval")
     p.add_argument("--obs-len", type=int, default=None)
     p.add_argument("--pred-len", type=int, default=None)
@@ -52,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a jax.profiler trace to {out-dir}/profile")
     tp.add_argument("--debug-nans", action="store_true",
                     help="raise on first NaN in any jitted op (slow)")
+    tp.add_argument("--tensorboard", action="store_true",
+                    help="mirror metrics as TensorBoard scalars to {out-dir}/tb")
 
     ep = sub.add_parser("eval", help="evaluate a checkpoint (best-of-K ADE/FDE)")
     ep.add_argument("--ckpt", required=True)
@@ -115,6 +119,38 @@ def main(argv=None) -> int:
         print(f"wrote synthetic scenes {SCENES} to {args.data_dir}")
         return 0
 
+    if args.cmd == "train" and args.scene == "all":
+        # Full 5-scene leave-one-out protocol (BASELINE.json:8): one fold per
+        # held-out scene, then the canonical per-scene table + average.
+        from mmtraj.train import fit
+
+        rows = []
+        for scene in SCENES:
+            args.scene = scene
+            cfg = _apply_overrides(get_config(args.config), args)
+            out = cfg.train.out_dir
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, out_dir=f"{out}/{scene}")
+            )
+            if args.synthetic and scene == SCENES[0]:
+                from mmtraj.data.synthetic import write_synthetic_dataset
+
+                write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
+            result = fit(cfg, resume=args.resume)
+            m = result.eval_metrics or {}
+            rows.append((scene, m.get("min_ade"), m.get("min_fde"), m.get("k")))
+        print(f"\nleave-one-out (config {args.config}):")
+        print(f"{'scene':8s} {'ADE(m)':>8s} {'FDE(m)':>8s}")
+        ades = [a for _, a, _, _ in rows if a is not None]
+        fdes = [f for _, _, f, _ in rows if f is not None]
+        for scene, a, f, k in rows:
+            print(f"{scene:8s} {a if a is not None else float('nan'):8.4f} "
+                  f"{f if f is not None else float('nan'):8.4f}")
+        if ades:
+            print(f"{'AVG':8s} {sum(ades)/len(ades):8.4f} {sum(fdes)/len(fdes):8.4f} "
+                  f"(best-of-{rows[0][3]})")
+        return 0
+
     if args.cmd == "train":
         from mmtraj.train import fit
         from mmtraj.utils.profiling import enable_nan_debugging, trace_ctx
@@ -126,8 +162,13 @@ def main(argv=None) -> int:
             write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
         if args.debug_nans:
             enable_nan_debugging()
+        logger = None
+        if args.tensorboard:
+            from mmtraj.utils.logging import MetricsLogger
+
+            logger = MetricsLogger(cfg.train.out_dir, tensorboard=True)
         with trace_ctx(cfg.train.out_dir, enabled=args.profile):
-            result = fit(cfg, resume=args.resume)
+            result = fit(cfg, resume=args.resume, logger=logger)
         if result.eval_metrics:
             print(
                 f"final: best-of-{result.eval_metrics['k']} "

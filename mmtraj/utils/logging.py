@@ -1,8 +1,11 @@
-"""Structured metrics logging: stdout + JSONL (SURVEY.md §5 observability).
+"""Structured metrics logging: stdout + JSONL + optional TensorBoard
+(SURVEY.md §5 observability).
 
 The reference logs to console only [K]; here every record is also appended to
 ``{out_dir}/metrics.jsonl`` so runs are machine-readable (bench + regression
-tracking read these files).
+tracking read these files), and — when enabled — mirrored as TensorBoard
+scalars under ``{out_dir}/tb`` (torch's dependency-light SummaryWriter; the
+flag degrades to a no-op with a warning if torch is absent).
 """
 
 from __future__ import annotations
@@ -14,12 +17,26 @@ from typing import Any, Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, out_dir: Optional[str] = None, quiet: bool = False):
+    def __init__(
+        self,
+        out_dir: Optional[str] = None,
+        quiet: bool = False,
+        tensorboard: bool = False,
+    ):
         self.quiet = quiet
         self._fh = None
+        self._tb = None
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             self._fh = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
+                except ImportError:
+                    print("[logging] tensorboard requested but torch is not "
+                          "installed; continuing with JSONL only", flush=True)
         self._t0 = time.time()
 
     def log(self, step: int, **metrics: Any) -> None:
@@ -28,6 +45,10 @@ class MetricsLogger:
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb:
+            for k, v in rec.items():
+                if k not in ("step", "t") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, step)
         if not self.quiet:
             parts = " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -39,3 +60,5 @@ class MetricsLogger:
     def close(self) -> None:
         if self._fh:
             self._fh.close()
+        if self._tb:
+            self._tb.close()

@@ -57,6 +57,21 @@ def test_convert_cli_roundtrips_across_formats(synth_dir, tmp_path, capsys):
     assert results[0] == results[1] == results[2]
 
 
+def test_train_all_scenes_leave_one_out(synth_dir, tmp_path, capsys):
+    """--scene all runs the 5-fold protocol and prints the table + average."""
+    rc = main(
+        [
+            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "all",
+            "--steps", "2", "--batch-size", "8", "--k", "1", "--n-max", "16",
+            "--out-dir", str(tmp_path / "loo"), "--eval-every", "0",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    for scene in ("eth", "hotel", "univ", "zara1", "zara2", "AVG"):
+        assert scene in out
+
+
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])

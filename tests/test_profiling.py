@@ -31,3 +31,20 @@ def test_assert_finite_tree():
     assert_finite_tree({"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}})
     with pytest.raises(AssertionError):
         assert_finite_tree({"a": jnp.array([1.0, np.nan])})
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """tensorboard=True mirrors float metrics as TB event files."""
+    from mmtraj.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), quiet=True, tensorboard=True)
+    lg.log(1, loss=0.5)
+    lg.log(2, loss=0.25, event="checkpoint")  # non-float values skipped
+    lg.close()
+    import glob
+
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    import json
+
+    recs = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert recs[0]["loss"] == 0.5 and recs[1]["event"] == "checkpoint"
