@@ -69,6 +69,10 @@ class TrainConfig:
     batch_size: int = 64
     steps: int = 2000
     lr: float = 1e-3
+    # "constant" or "cosine" (linear warmup over `warmup_steps`, cosine decay
+    # to lr/100 at `steps`).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 100
     weight_decay: float = 0.0
     grad_clip: float = 1.0
     k_samples: int = 20  # K for best-of-K eval (BASELINE.json:9)

@@ -41,7 +41,19 @@ class TrainResult:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    tx = optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay)
+    if cfg.train.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.train.lr,
+            warmup_steps=min(cfg.train.warmup_steps, max(cfg.train.steps // 10, 1)),
+            decay_steps=max(cfg.train.steps, 1),
+            end_value=cfg.train.lr / 100.0,
+        )
+    elif cfg.train.lr_schedule == "constant":
+        lr = cfg.train.lr
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.train.lr_schedule!r}")
+    tx = optax.adamw(lr, weight_decay=cfg.train.weight_decay)
     if cfg.train.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), tx)
     return tx

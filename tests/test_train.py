@@ -133,3 +133,16 @@ def test_resume_continues_from_checkpoint(synth_dir, tmp_path):
     assert steps_logged[-1] == 80
     ck = ckpt_lib.load(os.path.join(cfg.train.out_dir, "checkpoint.npz"))
     assert ck.step == 80
+
+
+def test_cosine_schedule_descends(synth_dir, tmp_path):
+    """lr_schedule='cosine' trains and descends like constant."""
+    import dataclasses as dc
+
+    cfg = _quick_cfg("2", synth_dir, tmp_path, steps=120)
+    cfg = cfg.replace(
+        train=dc.replace(cfg.train, lr_schedule="cosine", warmup_steps=10, log_every=20)
+    )
+    result = fit(cfg)
+    assert result.history[-1][1] < result.history[0][1]
+    assert np.isfinite(result.history[-1][1])
