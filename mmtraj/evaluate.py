@@ -76,9 +76,12 @@ def evaluate(
     fn = _eval_sums(model, k, mesh)
     key = jax.random.PRNGKey(seed)
     n = len(test_ds)
-    ade_sum = fde_sum = count = 0.0
     mean = jnp.asarray(stats.mean)
     std = jnp.asarray(stats.std)
+    # Accumulate device scalars and fetch once at the end: per-batch float()
+    # would hard-sync the host into every dispatch (the tunnel makes that
+    # especially costly); this keeps all eval batches in flight.
+    sums = []
     for s in range(0, n, batch_size):
         idx = np.arange(s, min(s + batch_size, n))
         xy, mask = test_ds.batch(idx)
@@ -87,10 +90,9 @@ def evaluate(
             xy = np.concatenate([xy, np.zeros((pad,) + xy.shape[1:], xy.dtype)])
             mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
         key, sub = jax.random.split(key)
-        a, f, c = fn(params, jnp.asarray(xy), jnp.asarray(mask), mean, std, sub)
-        ade_sum += float(a)
-        fde_sum += float(f)
-        count += float(c)
+        sums.append(fn(params, jnp.asarray(xy), jnp.asarray(mask), mean, std, sub))
+    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(3)
+    ade_sum, fde_sum, count = totals
     count = max(count, 1.0)
     return {
         "min_ade": ade_sum / count,
