@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--src", required=True, help="source checkpoint path")
     cp.add_argument("--dst", required=True,
                     help="destination path; suffix selects the format")
+
+    pp = sub.add_parser("profile-stats",
+                        help="summarize a jax.profiler trace (device-time op stats)")
+    pp.add_argument("--trace-dir", required=True,
+                    help="dir containing *.xplane.pb (e.g. {out-dir}/profile)")
+    pp.add_argument("--top", type=int, default=15)
     return ap
 
 
@@ -251,6 +257,12 @@ def main(argv=None) -> int:
         ck = ckpt_lib.load(args.src)
         ckpt_lib.save(args.dst, ck.params, ck.stats, ck.config, ck.step)
         print(f"converted {args.src} -> {args.dst} (step={ck.step})")
+        return 0
+
+    if args.cmd == "profile-stats":
+        from mmtraj.utils.profiling import print_trace_summary
+
+        print_trace_summary(args.trace_dir, args.top)
         return 0
 
     return 1

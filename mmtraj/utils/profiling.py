@@ -50,3 +50,56 @@ def assert_finite_tree(tree, label: str = "tree") -> None:
 
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         chex.assert_tree_all_finite(leaf)
+
+
+def summarize_trace(trace_dir: str, top: int = 15):
+    """Parse a jax.profiler trace offline and return device-time op stats.
+
+    Reads the ``*.xplane.pb`` under ``trace_dir`` (as written by `trace_ctx`
+    or ``cli train --profile``) with the xprof converter — no TensorBoard UI
+    needed; this machine has no browser.  Returns
+    ``(by_category, top_ops)``: totals in microseconds by HLO op category,
+    and the ``top`` individual ops as (time_us, category, name, occurrences).
+    Degrades to (None, None) if xprof is unavailable.
+    """
+    import glob
+    import json as _json
+    from collections import defaultdict
+
+    try:
+        from xprof.convert import raw_to_tool_data as _r2t
+    except ImportError:
+        return None, None
+    xplanes = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                               recursive=True))
+    if not xplanes:
+        raise FileNotFoundError(f"no *.xplane.pb under {trace_dir!r}")
+    data, _ = _r2t.xspace_to_tool_data([xplanes[-1]], "hlo_stats", {})
+    d = _json.loads(data if isinstance(data, str) else data.decode())
+    cols = [c["id"] for c in d["cols"]]
+    i_cat, i_name = cols.index("category"), cols.index("hlo_op_name")
+    i_occ, i_tot = cols.index("occurrences"), cols.index("total_time")
+    rows = []
+    for r in d["rows"]:
+        v = [c["v"] for c in r["c"]]
+        rows.append((float(v[i_tot]), str(v[i_cat]), str(v[i_name]), int(v[i_occ])))
+    rows.sort(reverse=True)
+    by_cat = defaultdict(float)
+    for t, cat, _, _ in rows:
+        by_cat[cat] += t
+    return dict(sorted(by_cat.items(), key=lambda x: -x[1])), rows[:top]
+
+
+def print_trace_summary(trace_dir: str, top: int = 15) -> None:
+    """Human-readable version of `summarize_trace` (used by `cli profile-stats`)."""
+    by_cat, rows = summarize_trace(trace_dir, top)
+    if by_cat is None:
+        print("xprof is not installed; cannot parse traces offline")
+        return
+    total = sum(by_cat.values()) or 1.0
+    print(f"device time by HLO category ({total:,.0f} us total):")
+    for cat, t in by_cat.items():
+        print(f"  {t:12,.0f} us {100 * t / total:5.1f}%  {cat}")
+    print(f"top {len(rows)} ops:")
+    for t, cat, name, occ in rows:
+        print(f"  {t:10,.0f} us {100 * t / total:4.1f}% x{occ:<5d} [{cat}] {name}")

@@ -48,3 +48,27 @@ def test_metrics_logger_tensorboard(tmp_path):
 
     recs = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
     assert recs[0]["loss"] == 0.5 and recs[1]["event"] == "checkpoint"
+
+
+def test_summarize_trace_on_cpu_capture(tmp_path):
+    """Capture a tiny CPU trace via trace_ctx and parse it offline."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtraj.utils.profiling import summarize_trace, trace_ctx
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((256, 256))
+    float(f(x))
+    with trace_ctx(str(tmp_path), enabled=True):
+        float(f(x))
+    by_cat, rows = summarize_trace(str(tmp_path / "profile"))
+    if by_cat is None:  # xprof not installed in this env
+        import pytest
+
+        pytest.skip("xprof unavailable")
+    # CPU xplanes often carry no device-HLO rows (hlo_stats is a device
+    # tool); the parse itself succeeding with well-formed output is the
+    # contract here — content is exercised on real TPU traces.
+    assert isinstance(by_cat, dict)
+    assert all(len(r) == 4 for r in rows)
