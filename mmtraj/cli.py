@@ -91,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--trace-dir", required=True,
                     help="dir containing *.xplane.pb (e.g. {out-dir}/profile)")
     pp.add_argument("--top", type=int, default=15)
+
+    xp = sub.add_parser("export",
+                        help="export a frozen K-sample predictor as StableHLO")
+    xp.add_argument("--ckpt", required=True)
+    xp.add_argument("--out", required=True, help="output .stablehlo file")
+    xp.add_argument("--batch", type=int, default=64)
+    xp.add_argument("--k", type=int, default=None)
+    xp.add_argument("--platform", default=None,
+                    help="lowering target (default: current backend)")
     return ap
 
 
@@ -263,6 +272,23 @@ def main(argv=None) -> int:
         from mmtraj.utils.profiling import print_trace_summary
 
         print_trace_summary(args.trace_dir, args.top)
+        return 0
+
+    if args.cmd == "export":
+        from mmtraj import checkpoint as ckpt_lib
+        from mmtraj.export import export_predictor
+        from mmtraj.models.forecaster import Forecaster
+
+        ck = ckpt_lib.load(args.ckpt)
+        cfg = ck.config
+        model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+        k = args.k or cfg.train.k_samples
+        export_predictor(
+            args.out, model, ck.params, ck.stats, k=k, batch=args.batch,
+            n_agents=cfg.data.n_max, platform=args.platform,
+        )
+        print(f"exported {args.ckpt} -> {args.out} "
+              f"(K={k}, batch={args.batch}, N={cfg.data.n_max})")
         return 0
 
     return 1

@@ -1,0 +1,86 @@
+"""Ahead-of-time model export via jax.export (StableHLO serialization).
+
+The serving/deployment story: `export_predictor` closes a trained checkpoint
+over the K-sample rollout (weights baked in as constants), lowers it to
+StableHLO for a chosen platform, and serializes it to a single file that any
+jax.export-compatible runtime (or a later mmtraj version) can deserialize and
+call WITHOUT the model code — `load_predictor` returns a plain callable
+``(xy_obs, mask, key_seed) -> (K, B, N, Tp, 2)``.
+
+The reference has no deployment surface (research scripts only, SURVEY.md);
+this is the TPU-native equivalent of shipping a frozen inference graph.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_predictor(model, params, stats, k: int) -> Callable:
+    """Pure inference fn with weights/stats closed over:
+    (xy_obs (B,N,To,2) f32, mask (B,N) bool, seed ()->i32) -> (K,B,N,Tp,2)."""
+
+    def predict(xy_obs, mask, seed):
+        key = jax.random.PRNGKey(seed)
+        return model.rollout_k(params, xy_obs, mask, stats, key, k)
+
+    return predict
+
+
+def export_predictor(
+    path: str,
+    model,
+    params,
+    stats,
+    *,
+    k: int = 20,
+    batch: int = 64,
+    n_agents: Optional[int] = None,
+    platform: Optional[str] = None,
+) -> None:
+    """Serialize the frozen K-sample predictor as StableHLO.
+
+    Shapes are static (TPU-native contract: fixed padded shapes); ``platform``
+    defaults to the current backend ('tpu' on the chip, 'cpu' in tests).
+    """
+    import jax.export as je
+
+    n = n_agents if n_agents is not None else 0
+    assert n > 0, "n_agents is required (padded agent capacity)"
+    predict = make_predictor(model, params, stats, k)
+    args = (
+        jax.ShapeDtypeStruct((batch, n, model.obs_len, 2), jnp.float32),
+        jax.ShapeDtypeStruct((batch, n), jnp.bool_),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    plats = [platform or jax.default_backend()]
+    exported = je.export(jax.jit(predict), platforms=plats)(*args)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_predictor(path: str) -> Callable:
+    """Deserialize an exported predictor into a callable (jit-wrapped)."""
+    import jax.export as je
+
+    with open(path, "rb") as f:
+        exported = je.deserialize(f.read())
+    call = exported.call
+
+    def predict(xy_obs, mask, seed):
+        return call(
+            jnp.asarray(xy_obs, jnp.float32),
+            jnp.asarray(mask, bool),
+            jnp.asarray(seed, jnp.int32),
+        )
+
+    return jax.jit(predict)
