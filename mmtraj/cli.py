@@ -222,7 +222,8 @@ def main(argv=None) -> int:
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
             f"agents={m['n_agents']}: best-of-{m['k']} "
-            f"ADE={m['min_ade']:.4f}m FDE={m['min_fde']:.4f}m"
+            f"ADE={m['min_ade']:.4f}m FDE={m['min_fde']:.4f}m "
+            f"MR@2m={m['miss_rate_2m']:.3f} coll@0.2m={m['collision_rate']:.3f}"
         )
         return 0
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from mmtraj.data.collate import WindowDataset
 from mmtraj.data.transforms import NormStats
-from mmtraj.metrics import displacement_errors
+from mmtraj.metrics import collision_rate, displacement_errors
 from mmtraj.models.forecaster import Forecaster
 
 
@@ -43,7 +43,9 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
         ade = ade_k.min(axis=0)
         fde = fde_k.min(axis=0)
         m = mask.astype(jnp.float32)
-        return (ade * m).sum(), (fde * m).sum(), m.sum()
+        miss = ((fde > 2.0) * m).sum()  # MR-K@2m numerator
+        coll = collision_rate(preds, mask) * m.sum()  # per-agent-normalized
+        return (ade * m).sum(), (fde * m).sum(), miss, coll, m.sum()
 
     if mesh is None:
         return jax.jit(fn)
@@ -53,7 +55,7 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
     return jax.jit(
         fn,
         in_shardings=(rep, shd, shd, rep, rep, rep),
-        out_shardings=(rep, rep, rep),
+        out_shardings=(rep,) * 5,
     )
 
 
@@ -91,12 +93,14 @@ def evaluate(
             mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
         key, sub = jax.random.split(key)
         sums.append(fn(params, jnp.asarray(xy), jnp.asarray(mask), mean, std, sub))
-    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(3)
-    ade_sum, fde_sum, count = totals
+    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(5)
+    ade_sum, fde_sum, miss_sum, coll_sum, count = totals
     count = max(count, 1.0)
     return {
         "min_ade": ade_sum / count,
         "min_fde": fde_sum / count,
+        "miss_rate_2m": miss_sum / count,
+        "collision_rate": coll_sum / count,
         "k": k,
         "n_windows": n,
         "n_agents": int(count),

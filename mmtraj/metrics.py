@@ -46,3 +46,38 @@ def best_of_k(
         jnp.where(mask, ade, 0.0).sum() / denom,
         jnp.where(mask, fde, 0.0).sum() / denom,
     )
+
+
+def miss_rate(
+    preds: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, threshold: float = 2.0
+) -> jnp.ndarray:
+    """Best-of-K miss rate: fraction of valid agents whose BEST final-step
+    displacement still exceeds `threshold` meters (the common MR-K@2m).
+    preds (K, ..., N, Tp, 2), gt (..., N, Tp, 2), mask (..., N) -> scalar."""
+    _, fde_k = displacement_errors(preds, gt[None])  # (K, ..., N)
+    best_fde = fde_k.min(axis=0)
+    denom = jnp.maximum(mask.sum(), 1)
+    return jnp.where(mask, best_fde > threshold, False).sum() / denom
+
+
+def collision_rate(
+    preds: jnp.ndarray, mask: jnp.ndarray, threshold: float = 0.2
+) -> jnp.ndarray:
+    """Fraction of sampled trajectories that collide with another agent's
+    trajectory FROM THE SAME SAMPLE: agent pairs closer than `threshold`
+    meters at any prediction step.  Social-plausibility diagnostic (the GAT
+    exists to avoid exactly this).  preds (K, B, N, Tp, 2), mask (B, N)
+    -> scalar in [0, 1]."""
+    x = preds[..., 0]  # (K, B, N, Tp)
+    y = preds[..., 1]
+    d2 = (
+        (x[:, :, :, None] - x[:, :, None, :]) ** 2
+        + (y[:, :, :, None] - y[:, :, None, :]) ** 2
+    )  # (K, B, N, N, Tp)
+    pair = (mask[:, :, None] & mask[:, None, :])[None, ..., None]  # (1,B,N,N,1)
+    n = mask.shape[-1]
+    off_diag = ~jnp.eye(n, dtype=bool)[None, None, :, :, None]
+    hit = (d2 < threshold * threshold) & pair & off_diag  # (K, B, N, N, Tp)
+    collided = hit.any(axis=(3, 4))  # (K, B, N): agent collides with anyone
+    denom = jnp.maximum(mask.sum() * preds.shape[0], 1)
+    return jnp.where(mask[None], collided, False).sum() / denom

@@ -54,3 +54,33 @@ def test_best_of_k_masked(rng):
     a2, f2 = best_of_k(preds2, gt, mask)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
+
+
+def test_miss_rate_hand_computed():
+    from mmtraj.metrics import miss_rate
+
+    # 2 agents, 1 sample; agent0 lands 3m off (miss), agent1 exact (hit).
+    gt = jnp.zeros((1, 2, 4, 2))
+    pred = jnp.zeros((1, 1, 2, 4, 2))
+    pred = pred.at[0, 0, 0, -1, 0].set(3.0)
+    mask = jnp.ones((1, 2), bool)
+    assert float(miss_rate(pred, gt, mask)) == 0.5
+    # masking the missing agent out -> 0
+    assert float(miss_rate(pred, gt, jnp.asarray([[False, True]]))) == 0.0
+
+
+def test_collision_rate_hand_computed():
+    from mmtraj.metrics import collision_rate
+
+    # 3 agents: 0 and 1 pass within 0.1m at step 2; agent 2 stays far away.
+    K, B, N, T = 1, 1, 3, 4
+    pred = np.zeros((K, B, N, T, 2), np.float32)
+    pred[0, 0, 0] = [[0, 0], [1, 0], [2, 0], [3, 0]]
+    pred[0, 0, 1] = [[0, 5], [1, 5], [2, 0.05], [3, 5]]
+    pred[0, 0, 2] = [[50, 50], [51, 50], [52, 50], [53, 50]]
+    mask = jnp.ones((B, N), bool)
+    rate = float(collision_rate(jnp.asarray(pred), mask))
+    np.testing.assert_allclose(rate, 2.0 / 3.0)  # agents 0 and 1 collide
+    # padded agent at a colliding position must not count
+    mask2 = jnp.asarray([[True, False, True]])
+    assert float(collision_rate(jnp.asarray(pred), mask2)) == 0.0
