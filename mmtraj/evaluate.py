@@ -20,6 +20,7 @@ import numpy as np
 from mmtraj.data.collate import WindowDataset
 from mmtraj.data.transforms import NormStats
 from mmtraj.metrics import collision_rate, displacement_errors
+from mmtraj.models.gmm import nll as gmm_nll
 from mmtraj.models.forecaster import Forecaster
 
 
@@ -45,7 +46,20 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
         m = mask.astype(jnp.float32)
         miss = ((fde > 2.0) * m).sum()  # MR-K@2m numerator
         coll = collision_rate(preds, mask) * m.sum()  # per-agent-normalized
-        return (ade * m).sum(), (fde * m).sum(), miss, coll, m.sum()
+        # Predictive NLL of the ground-truth future under the (teacher-forced)
+        # per-step mixture — the probabilistic-quality metric; 0 for
+        # deterministic heads.
+        if model.cfg.head == "gmm":
+            from mmtraj.data.transforms import normalize, to_relative
+
+            dxy_n = normalize(to_relative(xy), stats)[:, :, model.obs_len:]
+            carry = model.encode(params, obs, mask, stats)
+            outs = model.decode_teacher(params, carry, gt, dxy_n, mask)
+            per_step = gmm_nll(outs, dxy_n)  # (B, N, Tp)
+            nll = (per_step.mean(axis=-1) * m).sum()
+        else:
+            nll = jnp.zeros(())
+        return (ade * m).sum(), (fde * m).sum(), miss, coll, nll, m.sum()
 
     if mesh is None:
         return jax.jit(fn)
@@ -55,7 +69,7 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
     return jax.jit(
         fn,
         in_shardings=(rep, shd, shd, rep, rep, rep),
-        out_shardings=(rep,) * 5,
+        out_shardings=(rep,) * 6,
     )
 
 
@@ -93,14 +107,15 @@ def evaluate(
             mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
         key, sub = jax.random.split(key)
         sums.append(fn(params, jnp.asarray(xy), jnp.asarray(mask), mean, std, sub))
-    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(5)
-    ade_sum, fde_sum, miss_sum, coll_sum, count = totals
+    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(6)
+    ade_sum, fde_sum, miss_sum, coll_sum, nll_sum, count = totals
     count = max(count, 1.0)
     return {
         "min_ade": ade_sum / count,
         "min_fde": fde_sum / count,
         "miss_rate_2m": miss_sum / count,
         "collision_rate": coll_sum / count,
+        "nll": nll_sum / count,
         "k": k,
         "n_windows": n,
         "n_agents": int(count),
