@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--batch-size", type=int, default=None)
     tp.add_argument("--lr", type=float, default=None)
     tp.add_argument("--lr-schedule", default=None, choices=("constant", "cosine"))
+    tp.add_argument("--ema-decay", type=float, default=None,
+                    help=">0 enables EMA weights for eval + checkpoint_ema.npz")
     tp.add_argument("--seed", type=int, default=None)
     tp.add_argument("--out-dir", default=None)
     tp.add_argument("--eval-every", type=int, default=None)
@@ -113,6 +115,7 @@ def _apply_overrides(cfg, args):
         "steps": getattr(args, "steps", None), "batch_size": getattr(args, "batch_size", None),
         "lr": getattr(args, "lr", None), "seed": getattr(args, "seed", None),
         "lr_schedule": getattr(args, "lr_schedule", None),
+        "ema_decay": getattr(args, "ema_decay", None),
         "out_dir": getattr(args, "out_dir", None), "k_samples": args.k,
         "eval_every": getattr(args, "eval_every", None),
         "ckpt_every": getattr(args, "ckpt_every", None),

@@ -75,6 +75,10 @@ class TrainConfig:
     warmup_steps: int = 100
     weight_decay: float = 0.0
     grad_clip: float = 1.0
+    # >0 enables an exponential moving average of the params (e.g. 0.999);
+    # eval during/after training uses the EMA weights and the trainer writes
+    # a deployable `checkpoint_ema.npz` beside the resume checkpoint.
+    ema_decay: float = 0.0
     k_samples: int = 20  # K for best-of-K eval (BASELINE.json:9)
     eval_every: int = 500
     log_every: int = 100

@@ -59,14 +59,20 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(model: Forecaster, optimizer, stats: NormStats, mesh=None):
+def make_train_step(
+    model: Forecaster, optimizer, stats: NormStats, mesh=None, ema_decay: float = 0.0
+):
     """Build the jitted (params, opt_state, xy, mask) -> (params, opt_state,
     loss) step.  With a mesh: batch sharded over 'data', state replicated —
-    XLA derives the psum gradient all-reduce from the shardings."""
+    XLA derives the psum gradient all-reduce from the shardings.
+
+    With ``ema_decay > 0`` the signature gains an EMA pytree:
+    (params, opt_state, ema, xy, mask) -> (params, opt_state, ema, loss);
+    the EMA update fuses into the same XLA program as the optimizer step."""
     mean = jnp.asarray(stats.mean)
     std = jnp.asarray(stats.std)
 
-    def step(params, opt_state, xy, mask):
+    def grad_and_update(params, opt_state, xy, mask):
         s = NormStats(mean, std)
         (loss, _), grads = jax.value_and_grad(
             lambda p: model.loss(p, xy, mask, s), has_aux=True
@@ -75,14 +81,29 @@ def make_train_step(model: Forecaster, optimizer, stats: NormStats, mesh=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    if ema_decay > 0.0:
+        d = float(ema_decay)
+
+        def step(params, opt_state, ema, xy, mask):
+            params, opt_state, loss = grad_and_update(params, opt_state, xy, mask)
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
+            return params, opt_state, ema, loss
+
+        donate = (0, 1, 2)
+        n_out = 4
+    else:
+        step = grad_and_update
+        donate = (0, 1)
+        n_out = 3
+
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=donate)
     rep, shd = replicated(mesh), batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(rep, rep, shd, shd),
-        out_shardings=(rep, rep, rep),
-        donate_argnums=(0, 1),
+        in_shardings=(rep,) * (len(donate)) + (shd, shd),
+        out_shardings=(rep,) * n_out,
+        donate_argnums=donate,
     )
 
 
@@ -135,7 +156,13 @@ def fit(
     if mesh is not None:
         params = jax.device_put(params, replicated(mesh))
         opt_state = jax.device_put(opt_state, replicated(mesh))
-    step_fn = make_train_step(model, optimizer, stats, mesh)
+    ema_decay = cfg.train.ema_decay
+    # jnp.copy, not asarray: EMA must own distinct buffers — params and
+    # ema are both donated to the step fn (same buffer twice is an error).
+    ema_params = jax.tree.map(jax.numpy.copy, params) if ema_decay > 0 else None
+    if mesh is not None and ema_params is not None:
+        ema_params = jax.device_put(ema_params, replicated(mesh))
+    step_fn = make_train_step(model, optimizer, stats, mesh, ema_decay)
 
     logger = logger or MetricsLogger(cfg.train.out_dir)
     logger.log(
@@ -157,7 +184,12 @@ def fit(
     while step < cfg.train.steps:
         for idx in device_ds.epoch_indices(cfg.train.batch_size, rng):
             xy, mask = device_ds.batch(idx)
-            params, opt_state, loss = step_fn(params, opt_state, xy, mask)
+            if ema_decay > 0:
+                params, opt_state, ema_params, loss = step_fn(
+                    params, opt_state, ema_params, xy, mask
+                )
+            else:
+                params, opt_state, loss = step_fn(params, opt_state, xy, mask)
             step += 1
             if step % cfg.train.log_every == 0 or step == start_step + 1:
                 lv = float(loss)
@@ -169,7 +201,8 @@ def fit(
                 logger.log(step, event="checkpoint", path=ckpt_path)
             if test_ds is not None and cfg.train.eval_every > 0 and step % cfg.train.eval_every == 0:
                 eval_metrics = evaluate(
-                    model, params, stats, test_ds, cfg.train.k_samples,
+                    model, ema_params if ema_decay > 0 else params, stats,
+                    test_ds, cfg.train.k_samples,
                     batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
                     mesh=mesh,
                 )
@@ -179,7 +212,8 @@ def fit(
 
     if test_ds is not None and not eval_metrics:
         eval_metrics = evaluate(
-            model, params, stats, test_ds, cfg.train.k_samples,
+            model, ema_params if ema_decay > 0 else params, stats,
+            test_ds, cfg.train.k_samples,
             batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
             mesh=mesh,
         )
@@ -188,5 +222,11 @@ def fit(
     if ckpt_path:
         ckpt_lib.save(ckpt_path, params, stats, cfg, step, opt_state)
         logger.log(step, event="checkpoint", path=ckpt_path)
+        if ema_decay > 0:
+            ema_path = os.path.join(cfg.train.out_dir, "checkpoint_ema.npz")
+            ckpt_lib.save(ema_path, ema_params, stats, cfg, step)
+            logger.log(step, event="checkpoint", path=ema_path)
 
-    return TrainResult(params, stats, cfg, history, eval_metrics)
+    return TrainResult(
+        ema_params if ema_decay > 0 else params, stats, cfg, history, eval_metrics
+    )

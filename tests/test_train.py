@@ -146,3 +146,38 @@ def test_cosine_schedule_descends(synth_dir, tmp_path):
     result = fit(cfg)
     assert result.history[-1][1] < result.history[0][1]
     assert np.isfinite(result.history[-1][1])
+
+
+def test_ema_training(synth_dir, tmp_path):
+    """ema_decay>0: loss descends, EMA checkpoint written, returned params
+    are the EMA (differ from the raw resume checkpoint's params)."""
+    import dataclasses as dc
+
+    cfg = _quick_cfg("2", synth_dir, tmp_path, steps=40)
+    cfg = cfg.replace(train=dc.replace(cfg.train, ema_decay=0.99, log_every=10))
+    result = fit(cfg)
+    assert result.history[-1][1] < result.history[0][1]
+    ema_path = os.path.join(cfg.train.out_dir, "checkpoint_ema.npz")
+    raw = ckpt_lib.load(os.path.join(cfg.train.out_dir, "checkpoint.npz"))
+    ema = ckpt_lib.load(ema_path)
+    # EMA lags the raw weights
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(raw.params), jax.tree.leaves(ema.params))
+    ]
+    assert max(diffs) > 0.0
+    # result.params are the EMA weights
+    for a, b in zip(jax.tree.leaves(result.params), jax.tree.leaves(ema.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_ema_training_data_parallel(synth_dir, tmp_path):
+    """EMA composes with the mesh path (replicated EMA state)."""
+    import dataclasses as dc
+
+    cfg = _quick_cfg("2", synth_dir, tmp_path, steps=16)
+    cfg = cfg.replace(
+        train=dc.replace(cfg.train, ema_decay=0.99, data_parallel=True, log_every=8)
+    )
+    result = fit(cfg)
+    assert np.isfinite(result.history[-1][1])
