@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--k", type=int, default=None)
     xp.add_argument("--platform", default=None,
                     help="lowering target (default: current backend)")
+
+    rp = sub.add_parser("predict",
+                        help="sample K futures for a scene's live windows -> .npz")
+    rp.add_argument("--ckpt", required=True)
+    _add_common(rp)
+    rp.add_argument("--out", default="predictions.npz")
+    rp.add_argument("--seed", type=int, default=0)
+    rp.add_argument("--batch-size", type=int, default=64)
     return ap
 
 
@@ -276,6 +284,49 @@ def main(argv=None) -> int:
         from mmtraj.utils.profiling import print_trace_summary
 
         print_trace_summary(args.trace_dir, args.top)
+        return 0
+
+    if args.cmd == "predict":
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mmtraj import checkpoint as ckpt_lib
+        from mmtraj.data.collate import WindowDataset
+        from mmtraj.data.registry import load_scene_windows
+        from mmtraj.models.forecaster import Forecaster
+
+        ck = ckpt_lib.load(args.ckpt)
+        cfg = _apply_overrides(ck.config, args)
+        windows = load_scene_windows(
+            cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
+            cfg.data.stride, cfg.data.min_agents,
+        )
+        ds = WindowDataset(windows, cfg.data.n_max)
+        model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+        k, bs = cfg.train.k_samples, args.batch_size
+        key = jax.random.PRNGKey(args.seed)
+        roll = jax.jit(model.rollout_k, static_argnames=("k",))
+        preds, masks = [], []
+        for s in range(0, len(ds), bs):
+            idx = np.arange(s, min(s + bs, len(ds)))
+            xy, mask = ds.batch(idx)
+            if len(idx) < bs:
+                pad = bs - len(idx)
+                xy = np.concatenate([xy, np.zeros((pad,) + xy.shape[1:], xy.dtype)])
+                mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
+            key, sub = jax.random.split(key)
+            p = roll(ck.params, jnp.asarray(xy[:, :, : cfg.data.obs_len]),
+                     jnp.asarray(mask), ck.stats, sub, k=k)
+            preds.append(np.asarray(p)[:, : len(idx)])
+            masks.append(mask[: len(idx)])
+        preds_np = np.concatenate(preds, axis=1)  # (K, W, N, Tp, 2)
+        masks_np = np.concatenate(masks, axis=0)  # (W, N)
+        np.savez(args.out, predictions=preds_np, mask=masks_np,
+                 obs_len=cfg.data.obs_len, pred_len=cfg.data.pred_len,
+                 scene=cfg.data.scene, k=k)
+        print(f"wrote {args.out}: predictions {preds_np.shape} "
+              f"(K={k}, windows={masks_np.shape[0]}, scene={cfg.data.scene})")
         return 0
 
     if args.cmd == "export":

@@ -75,9 +75,11 @@ class TrainConfig:
     warmup_steps: int = 100
     weight_decay: float = 0.0
     grad_clip: float = 1.0
-    # >0 enables an exponential moving average of the params (e.g. 0.999);
-    # eval during/after training uses the EMA weights and the trainer writes
-    # a deployable `checkpoint_ema.npz` beside the resume checkpoint.
+    # >0 enables an exponential moving average of the params; eval
+    # during/after training uses the EMA weights and the trainer writes a
+    # deployable `checkpoint_ema.npz` beside the resume checkpoint.  Pick the
+    # decay so the horizon 1/(1-d) is ~5-10% of total steps (measured: 0.99
+    # at 2500 steps improves FDE ~3%; 0.999 there lags too far and hurts).
     ema_decay: float = 0.0
     k_samples: int = 20  # K for best-of-K eval (BASELINE.json:9)
     eval_every: int = 500

@@ -72,6 +72,29 @@ def test_train_all_scenes_leave_one_out(synth_dir, tmp_path, capsys):
         assert scene in out
 
 
+def test_predict_cli_writes_npz(synth_dir, tmp_path, capsys):
+    out = str(tmp_path / "pred_run")
+    assert main(
+        [
+            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "zara2",
+            "--steps", "5", "--batch-size", "8", "--k", "2", "--n-max", "16",
+            "--out-dir", out, "--eval-every", "0",
+        ]
+    ) == 0
+    npz = str(tmp_path / "p.npz")
+    assert main([
+        "predict", "--ckpt", out + "/checkpoint.npz", "--data-dir", synth_dir,
+        "--out", npz, "--k", "3", "--batch-size", "16",
+    ]) == 0
+    import numpy as onp
+
+    z = onp.load(npz)
+    preds, mask = z["predictions"], z["mask"]
+    assert preds.shape[0] == 3 and preds.shape[1] == mask.shape[0]
+    assert preds.shape[3:] == (12, 2)
+    assert onp.isfinite(preds[:, mask]).all()
+
+
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
