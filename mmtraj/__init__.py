@@ -23,3 +23,23 @@ from mmtraj.config import (  # noqa: F401
     PRESETS,
     get_config,
 )
+
+
+def __getattr__(name):  # lazy top-level API (keeps `import mmtraj` light)
+    if name == "Forecaster":
+        from mmtraj.models.forecaster import Forecaster
+
+        return Forecaster
+    if name == "fit":
+        from mmtraj.train import fit
+
+        return fit
+    if name == "evaluate":
+        from mmtraj.evaluate import evaluate
+
+        return evaluate
+    if name == "checkpoint":
+        import mmtraj.checkpoint as checkpoint
+
+        return checkpoint
+    raise AttributeError(f"module 'mmtraj' has no attribute {name!r}")

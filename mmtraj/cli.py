@@ -32,6 +32,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="mmtraj", description=__doc__)
+    from mmtraj import __version__
+
+    ap.add_argument("--version", action="version", version=f"mmtraj {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     tp = sub.add_parser("train", help="train a forecaster")
