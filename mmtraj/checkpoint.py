@@ -179,7 +179,9 @@ def save_torch(
 def load_torch(path: str) -> Checkpoint:
     import torch
 
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: the payload is tensors + str/int containers, and
+    # this adapter exists to ingest EXTERNAL .pt files — never unpickle code.
+    payload = torch.load(path, map_location="cpu", weights_only=True)
     flat = {k.replace(".", "/"): v.numpy() for k, v in payload["state_dict"].items()}
     params = jax.tree.map(lambda a: jax.numpy.asarray(a), _unflatten(flat))
     stats = NormStats(

@@ -141,7 +141,10 @@ def _apply_overrides(cfg, args):
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if getattr(args, "scene", None) == "all" and args.cmd != "train":
+        parser.error("--scene all (5-fold leave-one-out) is train-only")
 
     if args.cmd == "generate-data":
         from mmtraj.data.synthetic import write_synthetic_dataset
@@ -154,7 +157,10 @@ def main(argv=None) -> int:
         # Full 5-scene leave-one-out protocol (BASELINE.json:8): one fold per
         # held-out scene, then the canonical per-scene table + average.
         from mmtraj.train import fit
+        from mmtraj.utils.profiling import enable_nan_debugging, trace_ctx
 
+        if args.debug_nans:
+            enable_nan_debugging()
         rows = []
         for scene in SCENES:
             args.scene = scene
@@ -167,7 +173,13 @@ def main(argv=None) -> int:
                 from mmtraj.data.synthetic import write_synthetic_dataset
 
                 write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
-            result = fit(cfg, resume=args.resume)
+            logger = None
+            if args.tensorboard:
+                from mmtraj.utils.logging import MetricsLogger
+
+                logger = MetricsLogger(cfg.train.out_dir, tensorboard=True)
+            with trace_ctx(cfg.train.out_dir, enabled=args.profile):
+                result = fit(cfg, resume=args.resume, logger=logger)
             m = result.eval_metrics or {}
             rows.append((scene, m.get("min_ade"), m.get("min_fde"), m.get("k")))
         print(f"\nleave-one-out (config {args.config}):")

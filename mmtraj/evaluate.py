@@ -19,7 +19,7 @@ import numpy as np
 
 from mmtraj.data.collate import WindowDataset
 from mmtraj.data.transforms import NormStats
-from mmtraj.metrics import collision_rate, displacement_errors
+from mmtraj.metrics import collision_rate, displacement_errors, miss_rate
 from mmtraj.models.gmm import nll as gmm_nll
 from mmtraj.models.forecaster import Forecaster
 
@@ -39,12 +39,13 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
         stats = NormStats(stats_mean, stats_std)
         obs = xy[:, :, : model.obs_len]
         gt = xy[:, :, model.obs_len :]
-        preds = model.rollout_k(params, obs, mask, stats, key, k)  # (K,B,N,Tp,2)
+        carry = model.encode(params, obs, mask, stats)  # shared: rollout + NLL
+        preds = model.rollout_k(params, obs, mask, stats, key, k, carry=carry)
         ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
         ade = ade_k.min(axis=0)
         fde = fde_k.min(axis=0)
         m = mask.astype(jnp.float32)
-        miss = ((fde > 2.0) * m).sum()  # MR-K@2m numerator
+        miss = miss_rate(preds, gt, mask) * m.sum()  # MR-K@2m numerator
         coll = collision_rate(preds, mask) * m.sum()  # per-agent-normalized
         # Predictive NLL of the ground-truth future under the (teacher-forced)
         # per-step mixture — the probabilistic-quality metric; 0 for
@@ -53,7 +54,6 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
             from mmtraj.data.transforms import normalize, to_relative
 
             dxy_n = normalize(to_relative(xy), stats)[:, :, model.obs_len:]
-            carry = model.encode(params, obs, mask, stats)
             outs = model.decode_teacher(params, carry, gt, dxy_n, mask)
             per_step = gmm_nll(outs, dxy_n)  # (B, N, Tp)
             nll = (per_step.mean(axis=-1) * m).sum()

@@ -68,16 +68,20 @@ def collision_rate(
     meters at any prediction step.  Social-plausibility diagnostic (the GAT
     exists to avoid exactly this).  preds (K, B, N, Tp, 2), mask (B, N)
     -> scalar in [0, 1]."""
-    x = preds[..., 0]  # (K, B, N, Tp)
-    y = preds[..., 1]
+    # Time axis BEFORE the (N, N) pair dims: the pairwise intermediates then
+    # keep N (64) as the TPU lane dimension instead of Tp (12), which would
+    # lane-pad 12 -> 128 (~10x wasted VPU work; same hazard documented in
+    # mmtraj/ops/fused_gat.py for trailing head dims).
+    xt = jnp.swapaxes(preds[..., 0], 2, 3)  # (K, B, Tp, N)
+    yt = jnp.swapaxes(preds[..., 1], 2, 3)
     d2 = (
-        (x[:, :, :, None] - x[:, :, None, :]) ** 2
-        + (y[:, :, :, None] - y[:, :, None, :]) ** 2
-    )  # (K, B, N, N, Tp)
-    pair = (mask[:, :, None] & mask[:, None, :])[None, ..., None]  # (1,B,N,N,1)
+        (xt[..., :, None] - xt[..., None, :]) ** 2
+        + (yt[..., :, None] - yt[..., None, :]) ** 2
+    )  # (K, B, Tp, N, N)
+    pair = (mask[:, :, None] & mask[:, None, :])[None, :, None]  # (1,B,1,N,N)
     n = mask.shape[-1]
-    off_diag = ~jnp.eye(n, dtype=bool)[None, None, :, :, None]
-    hit = (d2 < threshold * threshold) & pair & off_diag  # (K, B, N, N, Tp)
-    collided = hit.any(axis=(3, 4))  # (K, B, N): agent collides with anyone
+    off_diag = ~jnp.eye(n, dtype=bool)
+    hit = (d2 < threshold * threshold) & pair & off_diag  # (K, B, Tp, N, N)
+    collided = hit.any(axis=(2, 4))  # (K, B, N): agent collides with anyone
     denom = jnp.maximum(mask.sum() * preds.shape[0], 1)
     return jnp.where(mask[None], collided, False).sum() / denom

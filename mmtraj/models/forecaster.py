@@ -239,7 +239,8 @@ class Forecaster:
         loss = jnp.sum(per_step * w) / denom
         return loss, {"loss": loss}
 
-    def rollout_k(self, params: Params, xy_obs, mask, stats: NormStats, key, k: int):
+    def rollout_k(self, params: Params, xy_obs, mask, stats: NormStats, key, k: int,
+                  carry: Carry = None):
         """K sampled rollouts, encode once -> (K, B, N, Tp, 2) absolute meters.
 
         The K modes are folded into the batch dimension (tile, decode once,
@@ -248,9 +249,14 @@ class Forecaster:
         step for all K*B graphs, and the Pallas GAT grid is a single flat
         batch axis.  Measured ~15% faster than vmap-over-keys and
         functionally identical (BASELINE.json:5 "vectorized via vmap over
-        modes" — this is the same vectorization, one axis flatter)."""
+        modes" — this is the same vectorization, one axis flatter).
+
+        ``carry``: pass a precomputed encoder carry to skip the internal
+        encode (evaluate() shares one encode between the rollout and the
+        teacher-forced NLL)."""
         B, N = mask.shape
-        carry = self.encode(params, xy_obs, mask, stats)
+        if carry is None:
+            carry = self.encode(params, xy_obs, mask, stats)
         tile = lambda a: jnp.tile(a, (k,) + (1,) * (a.ndim - 1))  # noqa: E731
         carry_k = Carry(h=tile(carry.h), c=tile(carry.c))
         xy_last = tile(xy_obs[:, :, -1])

@@ -82,12 +82,15 @@ def permute_head(w: jnp.ndarray, b: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, j
 # --------------------------------------------------------------------------
 
 
-def _step_math(h, xy, maskf, gumbel_t, normal_t, W, consts):
+def _step_math(h, xy, maskf, gumbel_t, normal_t, W, stats4, consts):
     """One decode step.  h (g*n, H); xy (g, n, 2); maskf (g, n) {0,1};
-    gumbel_t (g*n, M); normal_t (g*n, 2).  Returns (h', xy', dxy_n)."""
+    gumbel_t (g*n, M); normal_t (g*n, 2); stats4 (1, 4) =
+    [mean_x, mean_y, std_x, std_y] (runtime array — stats may be jit-traced).
+    Returns (h', xy')."""
     (emb_w, emb_b, wx, wh, cb, wv, asrc, adst, wo, bo, hw, hb) = W
-    (m, num_heads, dh, radius, sigma_min, rho_max, mean_x, mean_y, std_x, std_y,
-     g, n) = consts
+    (m, num_heads, dh, radius, sigma_min, rho_max, g, n) = consts
+    mean_x, mean_y = stats4[:, 0:1], stats4[:, 1:2]  # (1,1), broadcast below
+    std_x, std_y = stats4[:, 2:3], stats4[:, 3:4]
 
     # ---- head + GMM sample (column-block layout) ----
     raw = jnp.dot(h, hw, preferred_element_type=jnp.float32) + hb  # (g*n, 6M)
@@ -179,7 +182,7 @@ def _step_math(h, xy, maskf, gumbel_t, normal_t, W, consts):
 
 
 def _decoder_kernel(
-    h0_ref, xy0_ref, mask_ref, gum_ref, nrm_ref,
+    h0_ref, xy0_ref, mask_ref, gum_ref, nrm_ref, stats_ref,
     emb_w_ref, emb_b_ref, wx_ref, wh_ref, cb_ref,
     wv_ref, asrc_ref, adst_ref, wo_ref, bo_ref, hw_ref, hb_ref,
     out_ref,
@@ -194,10 +197,11 @@ def _decoder_kernel(
     h = h0_ref[:].reshape(g * n, -1)
     xy = xy0_ref[:]
     maskf = mask_ref[:]
+    stats4 = stats_ref[:]
     for t in range(t_steps):  # static unroll (T=12)
         gum_t = gum_ref[:, t].reshape(g * n, -1)
         nrm_t = nrm_ref[:, t].reshape(g * n, 2)
-        h, xy = _step_math(h, xy, maskf, gum_t, nrm_t, W, consts)
+        h, xy = _step_math(h, xy, maskf, gum_t, nrm_t, W, stats4, consts)
         out_ref[:, t] = xy
 
 
@@ -216,16 +220,24 @@ def fused_decode(
     T = gumbel.shape[1]
     M = num_mixtures
     assert radius > 0, "fused decoder requires a finite adjacency radius"
+    assert N in (8, 16, 32, 64, 128), (
+        f"fused decoder requires a lane-tileable agent count, got N={N}; "
+        "use the XLA path (use_fused_decoder=False) for other shapes"
+    )
     G = group
     while B % G:
         G //= 2
     G = max(G, 1)
     dh = params_dec["gat"]["wv"].shape[1] // num_heads
+    # radius/sigma_min/rho_max are model-config constants; normalization
+    # stats are RUNTIME inputs (they are jit-traced in evaluate/predict).
     consts = (
-        M, num_heads, dh, float(radius), float(sigma_min), float(rho_max),
-        float(stats_mean[0]), float(stats_mean[1]),
-        float(stats_std[0]), float(stats_std[1]), G, N,
+        M, num_heads, dh, float(radius), float(sigma_min), float(rho_max), G, N,
     )
+    stats4 = jnp.concatenate(
+        [jnp.asarray(stats_mean, jnp.float32).reshape(2),
+         jnp.asarray(stats_std, jnp.float32).reshape(2)]
+    ).reshape(1, 4)
     kernel = functools.partial(_decoder_kernel, t_steps=T, consts=consts)
     f32 = jnp.float32
     fixed = lambda b: (0, 0)  # noqa: E731
@@ -242,7 +254,7 @@ def fused_decode(
 
     args = (
         h0.astype(f32), xy0.astype(f32), mask.astype(f32),
-        gumbel.astype(f32), normal.astype(f32),
+        gumbel.astype(f32), normal.astype(f32), stats4,
         de["w"].astype(f32), de["b"].astype(f32)[None, :],
         dc["wx"].astype(f32), dc["wh"].astype(f32), dc["b"].astype(f32)[None, :],
         dg["wv"].astype(f32),
@@ -259,6 +271,7 @@ def fused_decode(
             blk((G, N), lambda b: (b, 0)),
             blk((G, T, N, M), lambda b: (b, 0, 0, 0)),
             blk((G, T, N, 2), lambda b: (b, 0, 0, 0)),
+            blk((1, 4), fixed),
             blk((2, E), fixed), blk((1, E), fixed),
             blk((E, 3 * H), fixed), blk((H, 3 * H), fixed), blk((1, 3 * H), fixed),
             blk((H, HD), fixed),
@@ -300,10 +313,13 @@ def reference_decode(
         head_w, head_b[None, :],
     )
     consts = (
-        num_mixtures, num_heads, dh, float(radius), float(sigma_min), float(rho_max),
-        float(stats_mean[0]), float(stats_mean[1]),
-        float(stats_std[0]), float(stats_std[1]), B, N,
+        num_mixtures, num_heads, dh, float(radius), float(sigma_min),
+        float(rho_max), B, N,
     )
+    stats4 = jnp.concatenate(
+        [jnp.asarray(stats_mean, jnp.float32).reshape(2),
+         jnp.asarray(stats_std, jnp.float32).reshape(2)]
+    ).reshape(1, 4)
     h = h0.reshape(B * N, H).astype(jnp.float32)
     xy = xy0.astype(jnp.float32)
     maskf = mask.astype(jnp.float32)
@@ -313,7 +329,7 @@ def reference_decode(
             h, xy, maskf,
             gumbel[:, t].reshape(B * N, -1).astype(jnp.float32),
             normal[:, t].reshape(B * N, 2).astype(jnp.float32),
-            W, consts,
+            W, stats4, consts,
         )
         outs.append(xy)
     return jnp.stack(outs, axis=1)  # (B, T, N, 2)

@@ -45,7 +45,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=cfg.train.lr,
-            warmup_steps=min(cfg.train.warmup_steps, max(cfg.train.steps // 10, 1)),
+            warmup_steps=min(cfg.train.warmup_steps, max(cfg.train.steps, 1)),
             decay_steps=max(cfg.train.steps, 1),
             end_value=cfg.train.lr / 100.0,
         )
@@ -160,6 +160,10 @@ def fit(
     # jnp.copy, not asarray: EMA must own distinct buffers — params and
     # ema are both donated to the step fn (same buffer twice is an error).
     ema_params = jax.tree.map(jax.numpy.copy, params) if ema_decay > 0 else None
+    if ema_decay > 0 and resume and cfg.train.out_dir:
+        ema_path = os.path.join(cfg.train.out_dir, "checkpoint_ema.npz")
+        if os.path.exists(ema_path) and start_step > 0:
+            ema_params = jax.tree.map(jax.numpy.asarray, ckpt_lib.load(ema_path).params)
     if mesh is not None and ema_params is not None:
         ema_params = jax.device_put(ema_params, replicated(mesh))
     step_fn = make_train_step(model, optimizer, stats, mesh, ema_decay)
@@ -199,6 +203,11 @@ def fit(
             if ckpt_path and cfg.train.ckpt_every > 0 and step % cfg.train.ckpt_every == 0:
                 ckpt_lib.save(ckpt_path, params, stats, cfg, step, opt_state)
                 logger.log(step, event="checkpoint", path=ckpt_path)
+                if ema_decay > 0:
+                    ckpt_lib.save(
+                        os.path.join(cfg.train.out_dir, "checkpoint_ema.npz"),
+                        ema_params, stats, cfg, step,
+                    )
             if test_ds is not None and cfg.train.eval_every > 0 and step % cfg.train.eval_every == 0:
                 eval_metrics = evaluate(
                     model, ema_params if ema_decay > 0 else params, stats,

@@ -116,3 +116,22 @@ def test_padding_invariance_fused(rng):
         np.testing.assert_allclose(
             np.asarray(a)[w][:, m[w]], np.asarray(b)[w][:, m[w]], atol=1e-4
         )
+
+
+def test_fused_rollout_under_jit_with_traced_stats(rng):
+    """Regression: normalization stats are jit-traced in evaluate/predict;
+    the fused path must not concretize them (it used to call float())."""
+    model = Forecaster(dataclasses.replace(CFG, use_fused_decoder=True), 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    steps = rng.normal(size=(2, 8, 8, 2)).astype(np.float32) * 0.3
+    xy_obs = jnp.asarray(np.cumsum(steps, axis=2))
+    mask = jnp.asarray(np.ones((2, 8), bool))
+
+    @jax.jit
+    def run(p, x, m, mean, std, key):
+        return model.rollout_k(p, x, m, NormStats(mean, std), key, 4)
+
+    out = run(params, xy_obs, mask, jnp.zeros(2), jnp.full(2, 0.4),
+              jax.random.PRNGKey(1))
+    assert out.shape == (4, 2, 8, 12, 2)
+    assert bool(jnp.isfinite(out).all())
