@@ -104,3 +104,20 @@ def test_leave_one_out():
 def test_load_split(synth_dir):
     train, test = load_split(synth_dir, "hotel", 8, 12, stride=4)
     assert len(train) > 0 and len(test) > 0
+
+
+def test_parser_tolerates_blank_lines_and_mixed_whitespace(tmp_path):
+    """Real annotation files have trailing newlines / mixed separators; the
+    NumPy and native C++ parsers must agree on them."""
+    from mmtraj.data.parser import read_annotation_file
+    from mmtraj.data.native import read_annotation_file_native
+
+    p = str(tmp_path / "messy.txt")
+    open(p, "w").write(
+        "0.0\t1.0\t1.5\t2.5\n\n10.0\t1.0\t1.6\t2.6\n   \n20.0 2.0 3.0 4.0\n"
+    )
+    a = read_annotation_file(p)
+    assert a.shape == (3, 4)
+    b = read_annotation_file_native(p)
+    if b is not None:  # native lib unavailable -> front door falls back
+        np.testing.assert_array_equal(a, b)

@@ -218,3 +218,12 @@ def test_ema_survives_resume(synth_dir, tmp_path):
         for a, b in zip(jax.tree.leaves(ema_at_20.params), jax.tree.leaves(ema_at_40.params))
     ]
     assert max(diffs) > 0.0
+
+
+def test_fit_is_seed_deterministic(synth_dir, tmp_path):
+    """Same config + seed => bit-identical trained params (full determinism:
+    host-side batch sampling and device compute are both seeded)."""
+    r1 = fit(_quick_cfg("2", synth_dir, tmp_path / "a", steps=15))
+    r2 = fit(_quick_cfg("2", synth_dir, tmp_path / "b", steps=15))
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
