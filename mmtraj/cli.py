@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--seed", type=int, default=0)
     ep.add_argument("--data-parallel", action="store_true",
                     help="shard eval batches over all local devices")
+    ep.add_argument("--reduction", default="per_agent",
+                    choices=("per_agent", "per_window"),
+                    help="best-of-K protocol: min over K per agent (default) "
+                         "or one joint k per window")
+    ep.add_argument("--auto-n-max", action="store_true",
+                    help="raise n_max to the densest test window so no agent "
+                         "is dropped from the metric population")
 
     gp = sub.add_parser("generate-data", help="write the synthetic ETH/UCY-format dataset")
     gp.add_argument("--data-dir", required=True)
@@ -113,6 +120,8 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--out", default="predictions.npz")
     rp.add_argument("--seed", type=int, default=0)
     rp.add_argument("--batch-size", type=int, default=64)
+    rp.add_argument("--auto-n-max", action="store_true",
+                    help="raise n_max to the densest window so no agent is dropped")
     return ap
 
 
@@ -236,7 +245,16 @@ def main(argv=None) -> int:
             cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
             cfg.data.stride, cfg.data.min_agents,
         )
-        ds = WindowDataset(windows, cfg.data.n_max)
+        n_max = cfg.data.n_max
+        densest = max((w.shape[0] for w in windows), default=0)
+        if args.auto_n_max and densest > n_max:
+            print(f"auto-n-max: raising n_max {n_max} -> {densest} "
+                  "(densest test window) so no agent is dropped")
+            n_max = densest
+        ds = WindowDataset(windows, n_max)
+        if ds.n_dropped:
+            print(f"WARNING: {ds.n_dropped} agents exceed n_max={n_max} and are "
+                  "excluded from the metric population (use --auto-n-max)")
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
         mesh = None
         if args.data_parallel:
@@ -244,10 +262,11 @@ def main(argv=None) -> int:
 
             mesh = make_mesh()
         m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size,
-                     args.seed, mesh=mesh)
+                     args.seed, mesh=mesh, reduction=args.reduction)
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
-            f"agents={m['n_agents']}: best-of-{m['k']} "
+            f"agents={m['n_agents']} dropped={m['n_dropped']}: "
+            f"best-of-{m['k']} ({m['reduction']}) "
             f"ADE={m['min_ade']:.4f}m FDE={m['min_fde']:.4f}m "
             f"MR@2m={m['miss_rate_2m']:.3f} coll@0.2m={m['collision_rate']:.3f}"
         )
@@ -317,7 +336,15 @@ def main(argv=None) -> int:
             cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
             cfg.data.stride, cfg.data.min_agents,
         )
-        ds = WindowDataset(windows, cfg.data.n_max)
+        n_max = cfg.data.n_max
+        densest = max((w.shape[0] for w in windows), default=0)
+        if args.auto_n_max and densest > n_max:
+            print(f"auto-n-max: raising n_max {n_max} -> {densest}")
+            n_max = densest
+        ds = WindowDataset(windows, n_max)
+        if ds.n_dropped:
+            print(f"WARNING: {ds.n_dropped} agents exceed n_max={n_max} and are "
+                  "missing from predictions (use --auto-n-max)")
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
         k, bs = cfg.train.k_samples, args.batch_size
         key = jax.random.PRNGKey(args.seed)

@@ -25,15 +25,25 @@ from mmtraj.models.forecaster import Forecaster
 
 
 @functools.lru_cache(maxsize=32)
-def _eval_sums(model: Forecaster, k: int, mesh=None):
-    """Jittable per-batch evaluator -> (min_ade_sum, min_fde_sum, n_valid).
+def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent"):
+    """Jittable per-batch evaluator -> masked error sums + counts.
 
-    Cached per (model, k, mesh): periodic eval during training must reuse the
-    compiled program, not re-jit each call (Forecaster is hashable: it wraps
-    a frozen config + ints).  With a mesh the batch is sharded over 'data'
-    (each chip rolls out its slice of windows for all K samples) and the
-    masked sums reduce over ICI — the same SPMD shape as training
-    (BASELINE.json:11)."""
+    Cached per (model, k, mesh, reduction): periodic eval during training must
+    reuse the compiled program, not re-jit each call (Forecaster is hashable:
+    it wraps a frozen config + ints).  With a mesh the batch is sharded over
+    'data' (each chip rolls out its slice of windows for all K samples) and
+    the masked sums reduce over ICI — the same SPMD shape as training
+    (BASELINE.json:11).
+
+    ``reduction`` selects the best-of-K protocol variant (the reference's
+    exact choice is unverifiable — PARITY.md "Known deltas"; both are shipped
+    so parity day is a flag flip):
+
+    * ``per_agent``  — min over K independently per agent, mean over agents
+      (the common "best-of-20" protocol);
+    * ``per_window`` — one joint k chosen per window (min over K of the
+      window's masked-mean error), mean over windows.
+    """
 
     def fn(params, xy, mask, stats_mean, stats_std, key):
         stats = NormStats(stats_mean, stats_std)
@@ -42,9 +52,18 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
         carry = model.encode(params, obs, mask, stats)  # shared: rollout + NLL
         preds = model.rollout_k(params, obs, mask, stats, key, k, carry=carry)
         ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
-        ade = ade_k.min(axis=0)
-        fde = fde_k.min(axis=0)
         m = mask.astype(jnp.float32)
+        n_per_w = m.sum(axis=1)  # (B,)
+        has = (n_per_w > 0).astype(jnp.float32)
+        if reduction == "per_window":
+            denom = jnp.maximum(n_per_w, 1.0)
+            ade_w = (ade_k * m).sum(axis=2) / denom  # (K, B) masked mean
+            fde_w = (fde_k * m).sum(axis=2) / denom
+            ade_sum = (ade_w.min(axis=0) * has).sum()
+            fde_sum = (fde_w.min(axis=0) * has).sum()
+        else:
+            ade_sum = (ade_k.min(axis=0) * m).sum()
+            fde_sum = (fde_k.min(axis=0) * m).sum()
         miss = miss_rate(preds, gt, mask) * m.sum()  # MR-K@2m numerator
         coll = collision_rate(preds, mask) * m.sum()  # per-agent-normalized
         # Predictive NLL of the ground-truth future under the (teacher-forced)
@@ -59,7 +78,7 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
             nll = (per_step.mean(axis=-1) * m).sum()
         else:
             nll = jnp.zeros(())
-        return (ade * m).sum(), (fde * m).sum(), miss, coll, nll, m.sum()
+        return ade_sum, fde_sum, miss, coll, nll, m.sum(), has.sum()
 
     if mesh is None:
         return jax.jit(fn)
@@ -69,7 +88,7 @@ def _eval_sums(model: Forecaster, k: int, mesh=None):
     return jax.jit(
         fn,
         in_shardings=(rep, shd, shd, rep, rep, rep),
-        out_shardings=(rep,) * 6,
+        out_shardings=(rep,) * 7,
     )
 
 
@@ -82,14 +101,34 @@ def evaluate(
     batch_size: int = 64,
     seed: int = 0,
     mesh=None,
+    reduction: str = "per_agent",
 ) -> Dict[str, float]:
     """Full-test-set best-of-K ADE/FDE in world meters.
 
     ``mesh``: optional jax Mesh; shards each eval batch over its 'data' axis
-    (batch_size is rounded up to a multiple of the mesh size)."""
+    (batch_size is rounded up to a multiple of the mesh size).
+    ``reduction``: "per_agent" (default) or "per_window" — see _eval_sums.
+
+    If the dataset dropped agents at collation (windows over ``n_max``), the
+    metrics dict reports ``n_dropped`` and a warning is emitted: a silently
+    reduced metric population would otherwise misreport the protocol on real
+    dense scenes (use a larger n_max / --auto-n-max to include everyone)."""
+    if reduction not in ("per_agent", "per_window"):
+        raise ValueError(f"unknown reduction {reduction!r}")
+    n_dropped = int(getattr(test_ds, "n_dropped", 0))
+    if n_dropped > 0:
+        import warnings
+
+        warnings.warn(
+            f"evaluation dataset dropped {n_dropped} agents that exceeded "
+            f"n_max={test_ds.n_max}; reported metrics cover a reduced "
+            "population — raise n_max (cli: --auto-n-max) for protocol-exact "
+            "numbers",
+            stacklevel=2,
+        )
     if mesh is not None:
         batch_size += (-batch_size) % mesh.size
-    fn = _eval_sums(model, k, mesh)
+    fn = _eval_sums(model, k, mesh, reduction)
     key = jax.random.PRNGKey(seed)
     n = len(test_ds)
     mean = jnp.asarray(stats.mean)
@@ -107,16 +146,21 @@ def evaluate(
             mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
         key, sub = jax.random.split(key)
         sums.append(fn(params, jnp.asarray(xy), jnp.asarray(mask), mean, std, sub))
-    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(6)
-    ade_sum, fde_sum, miss_sum, coll_sum, nll_sum, count = totals
-    count = max(count, 1.0)
+    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(7)
+    ade_sum, fde_sum, miss_sum, coll_sum, nll_sum, n_agents, n_win = totals
+    n_agents = max(n_agents, 1.0)
+    # ADE/FDE divide by the reduction's own population (agents or windows);
+    # miss/collision/NLL are per-agent metrics under either protocol.
+    primary = max(n_win, 1.0) if reduction == "per_window" else n_agents
     return {
-        "min_ade": ade_sum / count,
-        "min_fde": fde_sum / count,
-        "miss_rate_2m": miss_sum / count,
-        "collision_rate": coll_sum / count,
-        "nll": nll_sum / count,
+        "min_ade": ade_sum / primary,
+        "min_fde": fde_sum / primary,
+        "miss_rate_2m": miss_sum / n_agents,
+        "collision_rate": coll_sum / n_agents,
+        "nll": nll_sum / n_agents,
         "k": k,
+        "reduction": reduction,
         "n_windows": n,
-        "n_agents": int(count),
+        "n_agents": int(n_agents),
+        "n_dropped": n_dropped,
     }
