@@ -51,6 +51,12 @@ def cell_apply(p: Params, kind: str, x: jnp.ndarray, carry: Carry, dtype=None) -
         hcast = h
     xg = jnp.dot(x, wx, preferred_element_type=jnp.float32) + p["b"]
     hg = jnp.dot(hcast, wh, preferred_element_type=jnp.float32)
+    # Optional recurrent bias: absent from cell_init (fused into "b" there),
+    # but required for EXACT import of torch-convention checkpoints, whose GRU
+    # applies the recurrent n-gate bias inside the reset multiplication
+    # (n = tanh(Wxn x + b_in + r * (Whn h + b_hn))) — see mmtraj/interop.py.
+    if "bh" in p:
+        hg = hg + p["bh"]
     hid = h.shape[-1]
     if kind == "gru":
         # CuDNN-style gating: n = tanh(x Wxn + b_n + r * (h Whn)).

@@ -275,6 +275,10 @@ class Forecaster:
         assert cfg.cell == "gru" and cfg.social and cfg.head == "gmm", (
             "fused decoder covers the flagship GRU+social+GMM configuration"
         )
+        assert "bh" not in params["dec"]["cell"], (
+            "fused decoder does not consume the torch-import recurrent bias "
+            "'bh' (mmtraj/interop.py); use the XLA path for imported params"
+        )
         Bk, N = mask.shape
         T, M = self.pred_len, cfg.num_mixtures
         kg, kn = jax.random.split(key)
