@@ -46,10 +46,21 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--lr-schedule", default=None, choices=("constant", "cosine"))
     tp.add_argument("--ema-decay", type=float, default=None,
                     help=">0 enables EMA weights for eval + checkpoint_ema.npz")
+    tp.add_argument("--dropout", type=float, default=None,
+                    help="variational dropout rate on embed/GAT activations")
+    tp.add_argument("--weight-decay", type=float, default=None,
+                    help="AdamW decoupled weight decay")
+    tp.add_argument("--augment", action="store_true",
+                    help="random per-window rotation augmentation (on device)")
+    tp.add_argument("--augment-flip", action="store_true",
+                    help="also randomly reflect windows (implies --augment math)")
     tp.add_argument("--seed", type=int, default=None)
     tp.add_argument("--out-dir", default=None)
     tp.add_argument("--eval-every", type=int, default=None)
     tp.add_argument("--data-parallel", action="store_true")
+    tp.add_argument("--stream", action="store_true",
+                    help="host-side streaming ingest with double-buffered "
+                         "prefetch to HBM (for datasets that outgrow HBM)")
     tp.add_argument("--synthetic", action="store_true",
                     help="generate synthetic data into --data-dir first")
     tp.add_argument("--resume", action="store_true",
@@ -139,11 +150,22 @@ def _apply_overrides(cfg, args):
         "out_dir": getattr(args, "out_dir", None), "k_samples": args.k,
         "eval_every": getattr(args, "eval_every", None),
         "ckpt_every": getattr(args, "ckpt_every", None),
+        "weight_decay": getattr(args, "weight_decay", None),
     }.items() if v is not None}
     if getattr(args, "data_parallel", False):
         tk["data_parallel"] = True
+    if getattr(args, "stream", False):
+        tk["stream"] = True
+    if getattr(args, "augment", False):
+        tk["augment_rotate"] = True
+    if getattr(args, "augment_flip", False):
+        tk["augment_rotate"] = True
+        tk["augment_flip"] = True
+    mk = {}
+    if getattr(args, "dropout", None) is not None:
+        mk["dropout"] = args.dropout
     return cfg.replace(
-        model=model,
+        model=dataclasses.replace(model, **mk),
         data=dataclasses.replace(data, **dk),
         train=dataclasses.replace(train, **tk),
     )

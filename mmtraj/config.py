@@ -43,9 +43,17 @@ class ModelConfig:
     dtype: str = "float32"  # "bfloat16" runs matmuls in bf16 (loss stays f32)
     use_pallas: bool = False  # opt-in fused Pallas GAT kernel (XLA canonical)
     # Opt-in fully-fused Pallas rollout decoder (whole 12-step loop in one
-    # kernel, mmtraj/ops/fused_decoder.py).  GRU+social+GMM only; sample
-    # streams differ from the XLA path (statistically identical).
+    # kernel, mmtraj/ops/fused_decoder.py).  GRU+social+GMM only; consumes the
+    # identical pre-drawn random stream as the XLA path, so given the same key
+    # it samples trajectory-identical rollouts (pinned by
+    # tests/test_fused_decoder.py::test_rollout_k_fused_exact).
     use_fused_decoder: bool = False
+    # Variational (per-sequence) dropout rate on the embedding activations and
+    # the social-GAT residual during training; 0 disables.  One mask per
+    # forward pass reused across all scan steps (Gal & Ghahramani recurrent
+    # dropout) — no per-step RNG inside the scan, so the rollout hot path is
+    # untouched and eval is always deterministic.
+    dropout: float = 0.0
     # Rematerialize scan bodies on the backward pass (jax.checkpoint): skips
     # stashing the (T, B, N, N)-scale attention intermediates for grad,
     # trading recompute FLOPs for HBM traffic/footprint.  Enables much larger
@@ -81,6 +89,13 @@ class TrainConfig:
     # decay so the horizon 1/(1-d) is ~5-10% of total steps (measured: 0.99
     # at 2500 steps improves FDE ~3%; 0.999 there lags too far and hurts).
     ema_decay: float = 0.0
+    # Training-time window augmentation, applied on device inside the jitted
+    # step: a random proper rotation per window (and, with flip, a random
+    # reflection).  The social graph is unchanged (pairwise distances are
+    # rotation-invariant); offsets rotate.  The standard lever against
+    # dense-scene overfitting in this repo family's LOO recipes.
+    augment_rotate: bool = False
+    augment_flip: bool = False
     k_samples: int = 20  # K for best-of-K eval (BASELINE.json:9)
     eval_every: int = 500
     log_every: int = 100
@@ -88,6 +103,12 @@ class TrainConfig:
     seed: int = 0
     out_dir: str = "runs/default"
     data_parallel: bool = False  # shard batch over a jax Mesh (BASELINE.json:11)
+    # Streaming ingest: keep the window set host-side and double-buffer
+    # batches into HBM via prefetch_to_device (mmtraj/data/pipeline.py)
+    # instead of materializing the whole padded dataset in HBM.  Identical
+    # batch order and loss trajectory to resident mode for a given seed
+    # (tested); use for datasets that outgrow HBM.
+    stream: bool = False
 
 
 @dataclass(frozen=True)

@@ -70,7 +70,11 @@ def read_annotation_file_native(path: str) -> np.ndarray:
 
 
 def read_annotation_file_fast(path: str) -> np.ndarray:
-    """Native when available, NumPy otherwise — identical output either way."""
+    """Native when available, NumPy otherwise — identical output either way:
+    the NumPy path's tolerant scanner (parser._read_tolerant) mirrors the
+    native parser's messy-file semantics exactly ('#'/'%' comments, commas,
+    trailing junk, per-line >=4-numbers check), pinned by
+    tests/test_native.py::test_numpy_fallback_matches_native_on_messy."""
     if native_available():
         return read_annotation_file_native(path)
     from mmtraj.data.parser import read_annotation_file

@@ -13,16 +13,61 @@ explicit mandate, BASELINE.json:5).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
+
+# Leading numeric prefix of a token, mirroring what strtod (and the native
+# fast parser, mmtraj/native/fastparse.cpp) accepts before trailing junk.
+_NUM = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _read_tolerant(path: str) -> np.ndarray:
+    """Line-by-line parse with EXACTLY the native parser's tolerance
+    semantics (fastparse.cpp parse_buffer): blank lines and '#'/'%' comment
+    lines skipped; numbers separated by whitespace or commas; parsing a line
+    stops at the first non-numeric token; every data line must yield >= 4
+    numbers (else ValueError naming the line); first 4 kept."""
+    rows = []
+    with open(path, "r") as f:
+        for line_no, line in enumerate(f, 1):
+            q = line.strip()
+            if not q or q[0] in "#%":
+                continue
+            vals = []
+            for tok in q.replace(",", " ").split():
+                m = _NUM.match(tok)
+                if m is None:
+                    break
+                vals.append(float(m.group()))
+                if m.end() < len(tok):  # trailing junk glued to the number
+                    break
+            if len(vals) < 4:
+                raise ValueError(
+                    f"{path}: malformed line {line_no} (expected >=4 numeric columns)"
+                )
+            rows.append(vals[:4])
+    if not rows:
+        return np.zeros((0, 4), dtype=np.float64)
+    return np.asarray(rows, dtype=np.float64)
 
 
 def read_annotation_file(path: str) -> np.ndarray:
     """Read one annotation txt file -> float64 array of shape (R, 4).
 
     Columns: frame_id, ped_id, x, y.  Tolerates tabs, repeated spaces, blank
-    lines, and extra trailing columns (some public dumps carry more columns).
+    lines, extra trailing columns (some public dumps carry more), '#'/'%'
+    comments, comma separators, and trailing non-numeric junk — the same
+    tolerance envelope as the native C++ parser, so the two are
+    interchangeable on messy files too (pinned in tests/test_native.py).
+
+    Fast path: np.loadtxt's C tokenizer for the canonical clean format;
+    anything it rejects re-parses through the tolerant scanner.
     """
-    rows = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    try:
+        rows = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    except ValueError:
+        rows = _read_tolerant(path)
     if rows.size == 0:
         return np.zeros((0, 4), dtype=np.float64)
     if rows.shape[1] < 4:

@@ -63,6 +63,42 @@ def denormalize(dxy_n, stats: NormStats):
     return dxy_n * stats.std + stats.mean
 
 
+def augment_windows(xy, mask, key, rotate: bool = True, flip: bool = False):
+    """Random per-window rotation (and optional reflection) of world coords.
+
+    xy (B, N, T, 2) absolute meters, mask (B, N) -> augmented xy, same shape.
+    Device-side (traced into the jitted train step).  Training loss consumes
+    only per-step offsets and pairwise distances: distances are invariant
+    under the orthogonal map, offsets rotate with it, and padded rows stay
+    exactly zero (rotating zeros).  The mask is untouched.
+
+    ``flip`` composes a random y-reflection with the rotation, covering both
+    orientations of every path shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = xy.shape[0]
+    kr, kf = jax.random.split(key)
+    if rotate:
+        theta = jax.random.uniform(kr, (B,), minval=0.0, maxval=2.0 * jnp.pi)
+    else:
+        theta = jnp.zeros((B,), jnp.float32)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    if flip:
+        det = jnp.where(jax.random.bernoulli(kf, 0.5, (B,)), -1.0, 1.0)
+    else:
+        det = jnp.ones((B,), jnp.float32)
+    # Row 2 scaled by det: det=+1 is a proper rotation, det=-1 composes a
+    # y-reflection after it; both are orthogonal (distance-preserving).
+    rot = jnp.stack(
+        [jnp.stack([c, -s], axis=-1), jnp.stack([det * s, det * c], axis=-1)],
+        axis=-2,
+    )  # (B, 2, 2)
+    del mask  # padded rows are zeros; the orthogonal map keeps them zero
+    return jnp.einsum("bij,bntj->bnti", rot, xy)
+
+
 def _backend(x):
     # jnp arrays expose .device / __jax_array__; cheap duck-typing keeps this
     # module importable without jax for host-only tooling.

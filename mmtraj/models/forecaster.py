@@ -63,18 +63,43 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     return params
 
 
-def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask) -> Carry:
-    """Advance one frame: embed offset -> cell -> social GAT refinement."""
+def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask,
+          drop=None) -> Carry:
+    """Advance one frame: embed offset -> cell -> social GAT refinement.
+
+    ``drop``: optional variational-dropout masks {"emb": (B,N,E), "gat":
+    (B,N,H)}, pre-scaled by 1/keep.  Drawn ONCE per forward pass and reused
+    every scan step (recurrent dropout a la Gal & Ghahramani) — so they are
+    scan-carried constants, not per-step RNG.
+    """
     dt = _compute_dtype(cfg)
     x = jax.nn.relu(dense(pp["embed"], dxy_n, dt))
+    if drop is not None:
+        x = x * drop["emb"]
     carry = cell_apply(pp["cell"], cfg.cell, x, carry, dt)
     if cfg.social:
         adj = proximity_adjacency(xy_abs, mask, cfg.adjacency_radius)
-        h = carry.h + gat_apply(
+        g = gat_apply(
             pp["gat"], carry.h, adj, mask, cfg.num_heads, dt, use_pallas=cfg.use_pallas
         )
-        carry = Carry(h=h, c=carry.c)
+        if drop is not None:
+            g = g * drop["gat"]
+        carry = Carry(h=carry.h + g, c=carry.c)
     return carry
+
+
+def _dropout_masks(key, cfg: ModelConfig, B: int, N: int):
+    """Two variational masks per coder, pre-scaled by 1/keep (inverted
+    dropout: eval needs no rescale)."""
+    keep = 1.0 - cfg.dropout
+    ks = jax.random.split(key, 4)
+    bern = lambda k, d: (  # noqa: E731
+        jax.random.bernoulli(k, keep, (B, N, d)).astype(jnp.float32) / keep
+    )
+    return (
+        {"emb": bern(ks[0], cfg.embed_dim), "gat": bern(ks[1], cfg.hidden_dim)},
+        {"emb": bern(ks[2], cfg.embed_dim), "gat": bern(ks[3], cfg.hidden_dim)},
+    )
 
 
 class Forecaster:
@@ -103,9 +128,11 @@ class Forecaster:
         return init_params(key, self.cfg)
 
     # -- encoder ------------------------------------------------------------
-    def encode(self, params: Params, xy_obs, mask, stats: NormStats) -> Carry:
+    def encode(self, params: Params, xy_obs, mask, stats: NormStats,
+               drop=None) -> Carry:
         """xy_obs (B, N, To, 2) absolute meters, mask (B, N) -> decoder-ready
-        carry (bridged)."""
+        carry (bridged).  ``drop``: training-only variational-dropout masks
+        (see _step)."""
         cfg = self.cfg
         B, N = mask.shape
         dxy_n = normalize(to_relative(xy_obs), stats)
@@ -117,7 +144,7 @@ class Forecaster:
 
         def body(carry, x):
             dxy_t, xy_t = x
-            return _step(params["enc"], cfg, carry, dxy_t, xy_t, mask), None
+            return _step(params["enc"], cfg, carry, dxy_t, xy_t, mask, drop), None
 
         if cfg.remat:
             body = jax.checkpoint(body)
@@ -141,7 +168,8 @@ class Forecaster:
         return dense(params["head"], h).astype(jnp.float32)
 
     # -- training decode (teacher forcing) ----------------------------------
-    def decode_teacher(self, params: Params, carry: Carry, xy_fut, dxy_fut_n, mask):
+    def decode_teacher(self, params: Params, carry: Carry, xy_fut, dxy_fut_n, mask,
+                       drop=None):
         """Teacher-forced decode: at step t emit the head output predicting
         offset t from the pre-step state, then advance on ground truth.
 
@@ -155,7 +183,7 @@ class Forecaster:
         def body(carry, x):
             dxy_t, xy_t = x
             out = self._head(params, carry.h)
-            carry = _step(params["dec"], cfg, carry, dxy_t, xy_t, mask)
+            carry = _step(params["dec"], cfg, carry, dxy_t, xy_t, mask, drop)
             return carry, out
 
         if cfg.remat:
@@ -208,12 +236,16 @@ class Forecaster:
         return jnp.moveaxis(traj, 0, 2)  # (B, N, Tp, 2)
 
     # -- public API ----------------------------------------------------------
-    def loss(self, params: Params, xy, mask, stats: NormStats):
+    def loss(self, params: Params, xy, mask, stats: NormStats, key=None):
         """Training objective on a full window xy (B, N, To+Tp, 2).
 
         GMM head: mixture NLL of normalized target offsets (float32,
         log-sum-exp — SURVEY.md §7 hard part 3).  Deterministic head: MSE on
         normalized offsets.  Masked mean over valid agent-steps.
+
+        ``key``: RNG for variational dropout; required iff ``cfg.dropout > 0``
+        and training (pass None for a deterministic/eval loss — e.g. the
+        teacher-forced NLL metric never drops units).
         """
         cfg = self.cfg
         To = self.obs_len
@@ -226,8 +258,11 @@ class Forecaster:
         dxy_n = normalize(to_relative(xy), stats)
         dxy_fut_n = dxy_n[:, :, To:]
 
-        carry = self.encode(params, xy_obs, mask, stats)
-        outs = self.decode_teacher(params, carry, xy_fut, dxy_fut_n, mask)
+        drop_enc = drop_dec = None
+        if key is not None and cfg.dropout > 0.0:
+            drop_enc, drop_dec = _dropout_masks(key, cfg, *mask.shape)
+        carry = self.encode(params, xy_obs, mask, stats, drop_enc)
+        outs = self.decode_teacher(params, carry, xy_fut, dxy_fut_n, mask, drop_dec)
 
         if cfg.head == "gmm":
             per_step = gmm.nll(outs, dxy_fut_n)  # (B, N, Tp)

@@ -60,7 +60,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(
-    model: Forecaster, optimizer, stats: NormStats, mesh=None, ema_decay: float = 0.0
+    model: Forecaster,
+    optimizer,
+    stats: NormStats,
+    mesh=None,
+    ema_decay: float = 0.0,
+    augment_rotate: bool = False,
+    augment_flip: bool = False,
+    seed: int = 0,
 ):
     """Build the jitted (params, opt_state, xy, mask) -> (params, opt_state,
     loss) step.  With a mesh: batch sharded over 'data', state replicated —
@@ -68,14 +75,33 @@ def make_train_step(
 
     With ``ema_decay > 0`` the signature gains an EMA pytree:
     (params, opt_state, ema, xy, mask) -> (params, opt_state, ema, loss);
-    the EMA update fuses into the same XLA program as the optimizer step."""
+    the EMA update fuses into the same XLA program as the optimizer step.
+
+    With augmentation or ``model.cfg.dropout > 0`` the signature gains a
+    trailing int32 ``step_idx``: the per-step RNG is ``fold_in(seed-derived
+    base key, step_idx)`` INSIDE the compiled program — rotation/flip and the
+    variational-dropout masks cost zero extra host dispatches and the whole
+    step stays one XLA program."""
     mean = jnp.asarray(stats.mean)
     std = jnp.asarray(stats.std)
+    use_dropout = model.cfg.dropout > 0.0
+    needs_rng = augment_rotate or augment_flip or use_dropout
+    base_key = jax.random.PRNGKey(seed ^ 0x5EED) if needs_rng else None
 
-    def grad_and_update(params, opt_state, xy, mask):
+    def grad_and_update(params, opt_state, xy, mask, step_idx):
         s = NormStats(mean, std)
+        dkey = None
+        if needs_rng:
+            k_aug, k_drop = jax.random.split(jax.random.fold_in(base_key, step_idx))
+            if augment_rotate or augment_flip:
+                from mmtraj.data.transforms import augment_windows
+
+                xy = augment_windows(
+                    xy, mask, k_aug, rotate=augment_rotate, flip=augment_flip
+                )
+            dkey = k_drop if use_dropout else None
         (loss, _), grads = jax.value_and_grad(
-            lambda p: model.loss(p, xy, mask, s), has_aux=True
+            lambda p: model.loss(p, xy, mask, s, dkey), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -84,24 +110,32 @@ def make_train_step(
     if ema_decay > 0.0:
         d = float(ema_decay)
 
-        def step(params, opt_state, ema, xy, mask):
-            params, opt_state, loss = grad_and_update(params, opt_state, xy, mask)
+        def step_ema(params, opt_state, ema, xy, mask, step_idx=0):
+            params, opt_state, loss = grad_and_update(params, opt_state, xy, mask, step_idx)
             ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
             return params, opt_state, ema, loss
 
+        if needs_rng:
+            step = step_ema
+        else:  # keep the legacy 5-arg signature when no RNG is threaded
+            step = lambda p, o, e, xy, m: step_ema(p, o, e, xy, m)  # noqa: E731
         donate = (0, 1, 2)
         n_out = 4
     else:
-        step = grad_and_update
+        if needs_rng:
+            step = grad_and_update
+        else:
+            step = lambda p, o, xy, m: grad_and_update(p, o, xy, m, 0)  # noqa: E731
         donate = (0, 1)
         n_out = 3
 
+    n_data_args = 3 if needs_rng else 2  # xy, mask (, step_idx)
     if mesh is None:
         return jax.jit(step, donate_argnums=donate)
     rep, shd = replicated(mesh), batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(rep,) * (len(donate)) + (shd, shd),
+        in_shardings=(rep,) * len(donate) + (shd, shd) + (rep,) * (n_data_args - 2),
         out_shardings=(rep,) * n_out,
         donate_argnums=donate,
     )
@@ -134,7 +168,11 @@ def fit(
     if cfg.train.data_parallel and mesh is None:
         mesh = make_mesh()
     sharding = batch_sharding(mesh) if mesh is not None else None
-    device_ds = DeviceDataset(train_ds, sharding=sharding)
+    # Resident mode gathers batches from an HBM copy of the whole window set;
+    # stream mode keeps windows host-side and double-buffers batches into HBM.
+    # Both draw the SAME permutation from the same rng, so the loss trajectory
+    # is identical for a given seed (tests/test_pipeline.py pins this).
+    device_ds = None if cfg.train.stream else DeviceDataset(train_ds, sharding=sharding)
 
     model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
     params = model.init(jax.random.PRNGKey(cfg.train.seed))
@@ -166,7 +204,15 @@ def fit(
             ema_params = jax.tree.map(jax.numpy.asarray, ckpt_lib.load(ema_path).params)
     if mesh is not None and ema_params is not None:
         ema_params = jax.device_put(ema_params, replicated(mesh))
-    step_fn = make_train_step(model, optimizer, stats, mesh, ema_decay)
+    needs_rng = (
+        cfg.train.augment_rotate or cfg.train.augment_flip or cfg.model.dropout > 0.0
+    )
+    step_fn = make_train_step(
+        model, optimizer, stats, mesh, ema_decay,
+        augment_rotate=cfg.train.augment_rotate,
+        augment_flip=cfg.train.augment_flip,
+        seed=cfg.train.seed,
+    )
 
     logger = logger or MetricsLogger(cfg.train.out_dir)
     logger.log(
@@ -181,19 +227,35 @@ def fit(
     )
 
     rng = np.random.default_rng(cfg.train.seed + start_step)
+    if cfg.train.stream:
+        from mmtraj.data.pipeline import prefetch_to_device
+
+        def epoch_batches():
+            return prefetch_to_device(
+                train_ds.epoch_batches(cfg.train.batch_size, rng),
+                size=2, sharding=sharding,
+            )
+    else:
+
+        def epoch_batches():
+            return (
+                device_ds.batch(idx)
+                for idx in device_ds.epoch_indices(cfg.train.batch_size, rng)
+            )
+
     history = []
     eval_metrics: Dict[str, float] = {}
     step = start_step
     t_train = time.time()
     while step < cfg.train.steps:
-        for idx in device_ds.epoch_indices(cfg.train.batch_size, rng):
-            xy, mask = device_ds.batch(idx)
+        for xy, mask in epoch_batches():
+            extra = (jnp.int32(step),) if needs_rng else ()
             if ema_decay > 0:
                 params, opt_state, ema_params, loss = step_fn(
-                    params, opt_state, ema_params, xy, mask
+                    params, opt_state, ema_params, xy, mask, *extra
                 )
             else:
-                params, opt_state, loss = step_fn(params, opt_state, xy, mask)
+                params, opt_state, loss = step_fn(params, opt_state, xy, mask, *extra)
             step += 1
             if step % cfg.train.log_every == 0 or step == start_step + 1:
                 lv = float(loss)

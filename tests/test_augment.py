@@ -1,0 +1,147 @@
+"""Rotation/flip augmentation + variational dropout (VERDICT r1 task 1).
+
+Augmentation invariants: orthogonality (pairwise distances and per-step
+offset magnitudes preserved), padded rows stay exactly zero, determinism per
+key, and flip actually produces improper (det=-1) maps.  Dropout invariants:
+eval path untouched, train loss stochastic across keys, gradients finite,
+padding never revived.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtraj.config import Config, DataConfig, ModelConfig, TrainConfig
+from mmtraj.data.transforms import NormStats, augment_windows
+from mmtraj.models.forecaster import Forecaster
+from mmtraj.train import make_optimizer, make_train_step
+
+
+def _xy_mask(rng, B=4, N=5, T=20):
+    xy = np.cumsum(rng.normal(size=(B, N, T, 2)).astype(np.float32) * 0.3, axis=2)
+    mask = np.ones((B, N), bool)
+    mask[1, 3:] = False
+    xy[~mask] = 0.0
+    return jnp.asarray(xy), jnp.asarray(mask)
+
+
+def test_augment_preserves_distances_and_offsets():
+    rng = np.random.default_rng(0)
+    xy, mask = _xy_mask(rng)
+    out = augment_windows(xy, mask, jax.random.PRNGKey(1), rotate=True, flip=True)
+    assert out.shape == xy.shape
+    # Pairwise distances at every frame are invariant (social graph unchanged).
+    def pd(a):
+        d = a[:, :, None] - a[:, None, :]  # (B, N, N, T, 2)
+        return jnp.sqrt((d**2).sum(-1))
+    np.testing.assert_allclose(np.asarray(pd(out)), np.asarray(pd(xy)), atol=1e-4)
+    # Per-step offset magnitudes are invariant (speed profile unchanged).
+    sp = lambda a: jnp.linalg.norm(jnp.diff(a, axis=2), axis=-1)  # noqa: E731
+    np.testing.assert_allclose(np.asarray(sp(out)), np.asarray(sp(xy)), atol=1e-4)
+
+
+def test_augment_padded_rows_stay_zero():
+    rng = np.random.default_rng(1)
+    xy, mask = _xy_mask(rng)
+    out = augment_windows(xy, mask, jax.random.PRNGKey(2), rotate=True, flip=True)
+    assert np.all(np.asarray(out)[~np.asarray(mask)] == 0.0)
+
+
+def test_augment_deterministic_and_varies_with_key():
+    rng = np.random.default_rng(2)
+    xy, mask = _xy_mask(rng)
+    a = augment_windows(xy, mask, jax.random.PRNGKey(3))
+    b = augment_windows(xy, mask, jax.random.PRNGKey(3))
+    c = augment_windows(xy, mask, jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.abs(a - c).max()) > 1e-3
+
+
+def test_flip_produces_improper_maps():
+    """With flip over many windows, some maps must have det=-1: a pure
+    rotation cannot map a chiral path onto its mirror image."""
+    rng = np.random.default_rng(3)
+    B = 64
+    xy = jnp.asarray(rng.normal(size=(B, 1, 3, 2)).astype(np.float32))
+    mask = jnp.ones((B, 1), bool)
+    out = augment_windows(xy, mask, jax.random.PRNGKey(5), rotate=False, flip=True)
+    # rotate=False: the map is identity or y-flip per window.
+    flipped = np.isclose(np.asarray(out[:, 0, :, 1]), -np.asarray(xy[:, 0, :, 1])).all(axis=1)
+    identity = np.isclose(np.asarray(out), np.asarray(xy)).reshape(B, -1).all(axis=1)
+    assert flipped.any() and identity.any()
+    assert np.all(flipped | identity)
+
+
+def test_dropout_train_stochastic_eval_deterministic():
+    cfg = ModelConfig(num_heads=2, dropout=0.3)
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    xy, mask = _xy_mask(rng)
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))
+    l0, _ = model.loss(params, xy, mask, stats, key=jax.random.PRNGKey(0))
+    l1, _ = model.loss(params, xy, mask, stats, key=jax.random.PRNGKey(1))
+    le_a, _ = model.loss(params, xy, mask, stats)  # no key -> no dropout
+    le_b, _ = model.loss(params, xy, mask, stats)
+    assert float(l0) != float(l1)
+    assert float(le_a) == float(le_b)
+    grads = jax.grad(lambda p: model.loss(p, xy, mask, stats, jax.random.PRNGKey(2))[0])(params)
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
+
+def test_dropout_zero_is_identity_even_with_key():
+    cfg = ModelConfig(num_heads=2, dropout=0.0)
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    xy, mask = _xy_mask(rng)
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))
+    la, _ = model.loss(params, xy, mask, stats, key=jax.random.PRNGKey(9))
+    lb, _ = model.loss(params, xy, mask, stats)
+    assert float(la) == float(lb)
+
+
+def test_train_step_with_augment_and_dropout_descends():
+    """60 steps with rotation+flip+dropout on: loss must clearly descend and
+    stay finite (the full jitted path incl. fold_in-per-step RNG)."""
+    cfg = Config(
+        model=ModelConfig(num_heads=2, dropout=0.1),
+        data=DataConfig(n_max=6),
+        train=TrainConfig(batch_size=4, augment_rotate=True, augment_flip=True, seed=0),
+    )
+    model = Forecaster(cfg.model, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step_fn = make_train_step(
+        model, opt, NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32)),
+        augment_rotate=True, augment_flip=True, seed=0,
+    )
+    rng = np.random.default_rng(6)
+    xy, mask = _xy_mask(rng, B=4, N=6)
+    losses = []
+    for i in range(60):
+        params, opt_state, loss = step_fn(params, opt_state, xy, mask, jnp.int32(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.3
+
+
+def test_step_rng_reproducible_across_builds():
+    """Same seed + step index -> bit-identical loss (resume determinism)."""
+    cfg = Config(model=ModelConfig(num_heads=2, dropout=0.2))
+    model = Forecaster(cfg.model, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg)
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))
+    rng = np.random.default_rng(7)
+    xy, mask = _xy_mask(rng)
+    f1 = make_train_step(model, opt, stats, augment_rotate=True, seed=11)
+    f2 = make_train_step(model, opt, stats, augment_rotate=True, seed=11)
+    # Fresh copies per call: the step donates params/opt_state buffers.
+    p1 = jax.tree.map(jnp.copy, params)
+    p2 = jax.tree.map(jnp.copy, params)
+    _, _, l1 = f1(p1, opt.init(p1), xy, mask, jnp.int32(42))
+    _, _, l2 = f2(p2, opt.init(p2), xy, mask, jnp.int32(42))
+    assert float(l1) == float(l2)

@@ -46,3 +46,48 @@ def test_prefetch_to_device_preserves_order_and_values(rng):
 
 def test_prefetch_empty_iterator():
     assert list(prefetch_to_device(iter([]))) == []
+
+
+def test_fit_stream_matches_resident(synth_dir, tmp_path):
+    """fit(stream=True) must follow the exact same loss trajectory as the
+    HBM-resident path: same seed -> same permutation -> same batches, with
+    the only difference being WHERE the batch is assembled (VERDICT r1 task
+    7: the trainer's second ingest mode, exercised end-to-end)."""
+    from mmtraj.config import Config, DataConfig, ModelConfig, TrainConfig
+    from mmtraj.train import fit
+
+    def run(stream):
+        cfg = Config(
+            model=ModelConfig(num_heads=1, social=True, head="gmm"),
+            data=DataConfig(data_dir=synth_dir, scene="zara1", n_max=8),
+            train=TrainConfig(
+                batch_size=8, steps=12, log_every=1, eval_every=0,
+                k_samples=1, out_dir="", stream=stream, seed=3,
+            ),
+        )
+        return fit(cfg).history
+
+    h_res = run(False)
+    h_str = run(True)
+    assert len(h_res) == len(h_str) == 12
+    for (s_a, l_a), (s_b, l_b) in zip(h_res, h_str):
+        assert s_a == s_b
+        np.testing.assert_allclose(l_a, l_b, rtol=0, atol=0)
+
+
+def test_fit_stream_multiple_prefetch_cycles(synth_dir):
+    """A window set large enough to force many prefetch cycles (several
+    epochs of batches through the double buffer) still trains and descends."""
+    from mmtraj.config import Config, DataConfig, ModelConfig, TrainConfig
+    from mmtraj.train import fit
+
+    cfg = Config(
+        model=ModelConfig(num_heads=1, social=False, head="deterministic", cell="gru"),
+        data=DataConfig(data_dir=synth_dir, scene="zara1", n_max=8),
+        train=TrainConfig(batch_size=4, steps=40, log_every=5, eval_every=0,
+                          k_samples=1, out_dir="", stream=True, seed=0),
+    )
+    res = fit(cfg)
+    losses = [l for _, l in res.history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
