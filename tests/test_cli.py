@@ -8,6 +8,9 @@ import pytest
 from mmtraj.cli import main
 
 
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
+
+
 def test_generate_data(tmp_path):
     d = str(tmp_path / "gen")
     assert main(["generate-data", "--data-dir", d, "--n-frames", "60"]) == 0

@@ -11,6 +11,9 @@ from mmtraj.evaluate import evaluate
 from mmtraj.models.forecaster import Forecaster
 
 
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
+
+
 def _windows(rng, n_windows, n_agents=4):
     out = []
     for _ in range(n_windows):

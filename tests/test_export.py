@@ -8,6 +8,10 @@ from mmtraj.config import ModelConfig
 from mmtraj.data.transforms import NormStats
 from mmtraj.export import export_predictor, load_predictor, make_predictor
 from mmtraj.models.forecaster import Forecaster
+import pytest
+
+
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
 
 
 def test_export_roundtrip_matches_live_model(rng, tmp_path):

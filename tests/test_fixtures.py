@@ -21,6 +21,10 @@ from mmtraj.data.parser import read_annotation_file
 from mmtraj.data.transforms import compute_norm_stats
 from mmtraj.data.windower import make_windows
 from mmtraj.models.forecaster import Forecaster
+import pytest
+
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
+
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "scene_small.txt")
 

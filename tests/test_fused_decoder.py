@@ -14,6 +14,9 @@ from mmtraj.models.forecaster import Carry, Forecaster
 from mmtraj.models import gmm
 from mmtraj.ops.fused_decoder import fused_decode, permute_head, reference_decode
 
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
+
+
 CFG = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2,
                   adjacency_radius=4.0)
 

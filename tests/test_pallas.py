@@ -18,6 +18,9 @@ from mmtraj.models.gat import gat_apply, gat_init
 from mmtraj.ops.fused_gat import fused_gat, gat_math
 
 
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
+
+
 def _inputs(rng, B=3, N=8, D=16, heads=4):
     params = gat_init(jax.random.PRNGKey(0), D, D, heads)
     h = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))

@@ -6,6 +6,10 @@ import numpy as np
 
 from mmtraj.data.collate import WindowDataset
 from mmtraj.data.pipeline import DeviceDataset, prefetch_to_device
+import pytest
+
+
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
 
 
 def _ds(rng, n=20, n_max=6):

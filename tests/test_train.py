@@ -20,6 +20,9 @@ from mmtraj.models.forecaster import Forecaster
 from mmtraj.train import fit
 
 
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
+
+
 def _quick_cfg(preset, synth_dir, tmp_path, steps=60, **data_kw):
     import dataclasses
 

@@ -10,6 +10,10 @@ from mmtraj.config import ModelConfig
 from mmtraj.data.transforms import NormStats
 from mmtraj.models.forecaster import Forecaster
 from mmtraj.utils.viz import render_predictions
+import pytest
+
+
+pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
 
 
 def test_render_predictions_writes_png(tmp_path, rng):
