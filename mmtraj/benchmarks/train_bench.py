@@ -1,0 +1,189 @@
+"""Training-step microbenchmark: steps/s, windows/s, XLA-counted FLOPs, MFU.
+
+VERDICT round-1 task 4 asked for a device-time breakdown and an MFU estimate
+of the *training* step (the rollout/eval stack already has one in
+ARCHITECTURE.md).  This module times the exact jitted step `mmtraj.train`
+uses (same `make_train_step`, same donation/sharding story) over a sweep of
+(batch, dtype, remat) on whatever device JAX provides, and derives:
+
+- steps/s and windows/s (throughput the user sees),
+- FLOPs/step from the compiled executable's own cost model
+  (`compiled.cost_analysis()['flops']` — XLA's count of the optimized HLO,
+  so remat's recompute FLOPs are *included*),
+- MFU against the TPU v5e peak for the matmul precision in use.
+
+Peak convention: v5e MXU peak is ~197 TFLOP/s in bf16 and ~1/4 of that
+(~49 TFLOP/s) for f32 matmuls (f32 runs as multi-pass bf16 on the MXU).
+MFU is reported against the peak matching `ModelConfig.dtype`, so f32 and
+bf16 rows are each compared to what the hardware could do at that precision.
+
+Run:  python -m mmtraj.benchmarks.train_bench --sweep
+      python -m mmtraj.benchmarks.train_bench --batch 128 --profile /tmp/tb
+(the --profile dir can be fed to `python -m mmtraj.cli profile-stats`).
+
+Reference counterpart: none — the reference (SURVEY.md §6) publishes no
+training-throughput numbers; these tables are the rebuild's own contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtraj.config import config4
+from mmtraj.data.transforms import NormStats
+from mmtraj.models.forecaster import Forecaster
+from mmtraj.train import make_optimizer, make_train_step
+
+# TPU v5e ("v5 lite") MXU peak, dense matmul FLOP/s.
+PEAK_FLOPS = {"bfloat16": 197e12, "float32": 197e12 / 4}
+
+
+@dataclasses.dataclass
+class TrainBenchResult:
+    batch_size: int
+    dtype: str
+    remat: bool
+    steps_per_sec: float
+    windows_per_sec: float
+    flops_per_step: Optional[float]
+    mfu: Optional[float]
+    compile_s: float
+
+
+def _fake_batch(batch_size: int, n_max: int, t_total: int, seed: int = 0):
+    """Random walk windows + a univ-like ~2/3-full mask, device-resident."""
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(scale=0.15, size=(batch_size, n_max, t_total, 2))
+    xy = np.cumsum(steps, axis=2) + rng.uniform(0, 12, size=(batch_size, n_max, 1, 2))
+    n_valid = rng.integers(max(1, n_max // 2), n_max + 1, size=batch_size)
+    mask = np.arange(n_max)[None, :] < n_valid[:, None]
+    return jax.device_put(jnp.asarray(xy, jnp.float32)), jax.device_put(
+        jnp.asarray(mask)
+    )
+
+
+def bench_train_step(
+    batch_size: int = 128,
+    dtype: str = "float32",
+    remat: bool = True,
+    n_max: int = 64,
+    iters: int = 30,
+    warmup: int = 3,
+    profile_dir: Optional[str] = None,
+) -> TrainBenchResult:
+    """Time the config-4 (flagship) jitted train step at the given knobs."""
+    cfg = config4()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, dtype=dtype, remat=remat),
+        train=dataclasses.replace(cfg.train, batch_size=batch_size),
+    )
+    model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
+    xy, mask = _fake_batch(batch_size, n_max, cfg.data.obs_len + cfg.data.pred_len)
+    step_fn = make_train_step(model, optimizer, stats)
+
+    t0 = time.time()
+    lowered = step_fn.lower(params, opt_state, xy, mask)
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    for _ in range(max(warmup, 1)):  # >=1: the timed loop needs a warm cache
+        params, opt_state, loss = compiled(params, opt_state, xy, mask)
+    jax.block_until_ready(loss)
+
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    )
+    with prof:
+        t0 = time.time()
+        for _ in range(iters):
+            params, opt_state, loss = compiled(params, opt_state, xy, mask)
+        jax.block_until_ready(loss)
+        dt = time.time() - t0
+
+    sps = iters / dt
+    peak = PEAK_FLOPS.get(dtype)
+    mfu = (flops * sps / peak) if (flops and peak) else None
+    return TrainBenchResult(
+        batch_size=batch_size,
+        dtype=dtype,
+        remat=remat,
+        steps_per_sec=sps,
+        windows_per_sec=sps * batch_size,
+        flops_per_step=flops,
+        mfu=mfu,
+        compile_s=compile_s,
+    )
+
+
+def _fmt(r: TrainBenchResult) -> str:
+    fl = f"{r.flops_per_step / 1e9:8.2f} GF" if r.flops_per_step else "     n/a"
+    mfu = f"{100 * r.mfu:5.1f}%" if r.mfu is not None else "  n/a"
+    return (
+        f"B={r.batch_size:<5d} {r.dtype:<9s} remat={str(r.remat):<5s} "
+        f"{r.steps_per_sec:7.1f} steps/s  {r.windows_per_sec:9,.0f} windows/s  "
+        f"{fl}/step  MFU {mfu}  (compile {r.compile_s:.1f}s)"
+    )
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="batch x dtype x remat sweep (B=128..1024) instead of a single point",
+    )
+    args = ap.parse_args(argv)
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}  n_max=64 obs=8 pred=12 (config-4 model)")
+    if args.sweep:
+        for batch in (128, 256, 512, 1024):
+            for dtype in ("float32", "bfloat16"):
+                for remat in (True, False):
+                    try:
+                        r = bench_train_step(batch, dtype, remat, iters=args.iters)
+                        print(_fmt(r), flush=True)
+                    except Exception as e:  # e.g. OOM at B=1024 without remat
+                        print(
+                            f"B={batch:<5d} {dtype:<9s} remat={remat!s:<5s} "
+                            f"FAILED: {type(e).__name__}: {str(e)[:120]}",
+                            flush=True,
+                        )
+        return
+    r = bench_train_step(
+        args.batch, args.dtype, not args.no_remat,
+        iters=args.iters, profile_dir=args.profile,
+    )
+    print(_fmt(r))
+    if args.profile:
+        print(f"trace written to {args.profile}; summarize with:")
+        print(f"  python -m mmtraj.cli profile-stats --trace-dir {args.profile}")
+
+
+if __name__ == "__main__":
+    main()

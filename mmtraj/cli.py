@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--augment-flip", action="store_true",
                     help="also randomly reflect windows (implies --augment math)")
     tp.add_argument("--seed", type=int, default=None)
+    tp.add_argument("--seeds", type=int, nargs="+", default=None,
+                    help="run the whole protocol once per seed and report "
+                         "mean±std (e.g. --seeds 0 1 2); with --scene all "
+                         "this is the full multi-seed leave-one-out table")
     tp.add_argument("--out-dir", default=None)
     tp.add_argument("--eval-every", type=int, default=None)
     tp.add_argument("--data-parallel", action="store_true")
@@ -186,21 +190,100 @@ def main(argv=None) -> int:
 
     if args.cmd == "train" and args.scene == "all":
         # Full 5-scene leave-one-out protocol (BASELINE.json:8): one fold per
-        # held-out scene, then the canonical per-scene table + average.
+        # held-out scene, then the canonical per-scene table + average.  With
+        # --seeds the whole protocol repeats per seed and the table reports
+        # mean±std over seeds (the publication-grade variant; RESULTS.md).
         from mmtraj.train import fit
         from mmtraj.utils.profiling import enable_nan_debugging, trace_ctx
 
         if args.debug_nans:
             enable_nan_debugging()
-        rows = []
-        for scene in SCENES:
-            args.scene = scene
+        seeds = args.seeds if args.seeds else [args.seed]
+        base_out = args.out_dir
+
+        def run_loo_once(seed):
+            rows = []
+            for scene in SCENES:
+                args.scene = scene
+                args.seed = seed
+                cfg = _apply_overrides(get_config(args.config), args)
+                out = cfg.train.out_dir
+                sub = f"{out}/{scene}" if len(seeds) == 1 else f"{out}/s{seed}/{scene}"
+                cfg = cfg.replace(train=dataclasses.replace(cfg.train, out_dir=sub))
+                if args.synthetic and scene == SCENES[0] and seed == seeds[0]:
+                    from mmtraj.data.synthetic import write_synthetic_dataset
+
+                    write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
+                logger = None
+                if args.tensorboard:
+                    from mmtraj.utils.logging import MetricsLogger
+
+                    logger = MetricsLogger(cfg.train.out_dir, tensorboard=True)
+                with trace_ctx(cfg.train.out_dir, enabled=args.profile):
+                    result = fit(cfg, resume=args.resume, logger=logger)
+                m = result.eval_metrics or {}
+                rows.append((scene, m.get("min_ade"), m.get("min_fde"), m.get("k")))
+            return rows
+
+        per_seed = []
+        for seed in seeds:
+            args.out_dir = base_out
+            rows = run_loo_once(seed)
+            per_seed.append(rows)
+            if len(seeds) > 1:
+                print(f"\nseed {seed} leave-one-out (config {args.config}):")
+                for scene, a, f, _ in rows:
+                    print(f"  {scene:8s} {a:8.4f} {f:8.4f}")
+
+        if len(seeds) == 1:
+            rows = per_seed[0]
+            print(f"\nleave-one-out (config {args.config}):")
+            print(f"{'scene':8s} {'ADE(m)':>8s} {'FDE(m)':>8s}")
+            ades = [a for _, a, _, _ in rows if a is not None]
+            fdes = [f for _, _, f, _ in rows if f is not None]
+            for scene, a, f, k in rows:
+                print(f"{scene:8s} {a if a is not None else float('nan'):8.4f} "
+                      f"{f if f is not None else float('nan'):8.4f}")
+            if ades:
+                print(f"{'AVG':8s} {sum(ades)/len(ades):8.4f} "
+                      f"{sum(fdes)/len(fdes):8.4f} (best-of-{rows[0][3]})")
+        else:
+            import statistics as _st
+
+            print(f"\nleave-one-out (config {args.config}, "
+                  f"{len(seeds)} seeds {seeds}): mean ± std over seeds")
+            print(f"{'scene':8s} {'ADE(m)':>16s} {'FDE(m)':>16s}")
+            avg_a, avg_f = [], []
+            for i, scene in enumerate(SCENES):
+                a = [rows[i][1] for rows in per_seed]
+                f = [rows[i][2] for rows in per_seed]
+                print(f"{scene:8s} {_st.mean(a):8.4f}±{_st.stdev(a):6.4f} "
+                      f"{_st.mean(f):8.4f}±{_st.stdev(f):6.4f}")
+            for rows in per_seed:
+                avg_a.append(sum(r[1] for r in rows) / len(rows))
+                avg_f.append(sum(r[2] for r in rows) / len(rows))
+            print(f"{'AVG':8s} {_st.mean(avg_a):8.4f}±{_st.stdev(avg_a):6.4f} "
+                  f"{_st.mean(avg_f):8.4f}±{_st.stdev(avg_f):6.4f} "
+                  f"(best-of-{per_seed[0][0][3]})")
+        return 0
+
+    if args.cmd == "train":
+        from mmtraj.train import fit
+        from mmtraj.utils.profiling import enable_nan_debugging, trace_ctx
+
+        if args.debug_nans:
+            enable_nan_debugging()
+        seeds = args.seeds if args.seeds else [args.seed]
+        base_out = args.out_dir
+        finals = []
+        for seed in seeds:
+            args.seed = seed
+            args.out_dir = base_out
             cfg = _apply_overrides(get_config(args.config), args)
-            out = cfg.train.out_dir
-            cfg = cfg.replace(
-                train=dataclasses.replace(cfg.train, out_dir=f"{out}/{scene}")
-            )
-            if args.synthetic and scene == SCENES[0]:
+            if len(seeds) > 1:
+                cfg = cfg.replace(train=dataclasses.replace(
+                    cfg.train, out_dir=f"{cfg.train.out_dir}/s{seed}"))
+            if args.synthetic and seed == seeds[0]:
                 from mmtraj.data.synthetic import write_synthetic_dataset
 
                 write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
@@ -211,44 +294,22 @@ def main(argv=None) -> int:
                 logger = MetricsLogger(cfg.train.out_dir, tensorboard=True)
             with trace_ctx(cfg.train.out_dir, enabled=args.profile):
                 result = fit(cfg, resume=args.resume, logger=logger)
-            m = result.eval_metrics or {}
-            rows.append((scene, m.get("min_ade"), m.get("min_fde"), m.get("k")))
-        print(f"\nleave-one-out (config {args.config}):")
-        print(f"{'scene':8s} {'ADE(m)':>8s} {'FDE(m)':>8s}")
-        ades = [a for _, a, _, _ in rows if a is not None]
-        fdes = [f for _, _, f, _ in rows if f is not None]
-        for scene, a, f, k in rows:
-            print(f"{scene:8s} {a if a is not None else float('nan'):8.4f} "
-                  f"{f if f is not None else float('nan'):8.4f}")
-        if ades:
-            print(f"{'AVG':8s} {sum(ades)/len(ades):8.4f} {sum(fdes)/len(fdes):8.4f} "
-                  f"(best-of-{rows[0][3]})")
-        return 0
+            if result.eval_metrics:
+                finals.append(result.eval_metrics)
+                print(
+                    f"final{f' (seed {seed})' if len(seeds) > 1 else ''}: "
+                    f"best-of-{result.eval_metrics['k']} "
+                    f"ADE={result.eval_metrics['min_ade']:.4f}m "
+                    f"FDE={result.eval_metrics['min_fde']:.4f}m"
+                )
+        if len(finals) > 1:
+            import statistics as _st
 
-    if args.cmd == "train":
-        from mmtraj.train import fit
-        from mmtraj.utils.profiling import enable_nan_debugging, trace_ctx
-
-        cfg = _apply_overrides(get_config(args.config), args)
-        if args.synthetic:
-            from mmtraj.data.synthetic import write_synthetic_dataset
-
-            write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
-        if args.debug_nans:
-            enable_nan_debugging()
-        logger = None
-        if args.tensorboard:
-            from mmtraj.utils.logging import MetricsLogger
-
-            logger = MetricsLogger(cfg.train.out_dir, tensorboard=True)
-        with trace_ctx(cfg.train.out_dir, enabled=args.profile):
-            result = fit(cfg, resume=args.resume, logger=logger)
-        if result.eval_metrics:
-            print(
-                f"final: best-of-{result.eval_metrics['k']} "
-                f"ADE={result.eval_metrics['min_ade']:.4f}m "
-                f"FDE={result.eval_metrics['min_fde']:.4f}m"
-            )
+            a = [m["min_ade"] for m in finals]
+            f = [m["min_fde"] for m in finals]
+            print(f"over {len(finals)} seeds: "
+                  f"ADE={_st.mean(a):.4f}±{_st.stdev(a):.4f}m "
+                  f"FDE={_st.mean(f):.4f}±{_st.stdev(f):.4f}m")
         return 0
 
     if args.cmd == "eval":

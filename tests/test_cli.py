@@ -75,6 +75,43 @@ def test_train_all_scenes_leave_one_out(synth_dir, tmp_path, capsys):
         assert scene in out
 
 
+def test_train_multiseed_reports_mean_std(synth_dir, tmp_path, capsys):
+    """--seeds N M trains once per seed and prints mean±std of the finals."""
+    rc = main(
+        [
+            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "zara2",
+            "--steps", "3", "--batch-size", "8", "--k", "1", "--n-max", "16",
+            "--out-dir", str(tmp_path / "ms"), "--eval-every", "0",
+            "--seeds", "0", "1",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "final (seed 0)" in out and "final (seed 1)" in out
+    assert "over 2 seeds" in out and "±" in out
+    # per-seed runs land in separate out dirs so checkpoints don't collide
+    assert (tmp_path / "ms" / "s0" / "checkpoint.npz").exists()
+    assert (tmp_path / "ms" / "s1" / "checkpoint.npz").exists()
+
+
+def test_loo_multiseed_reports_mean_std(synth_dir, tmp_path, capsys):
+    """--scene all --seeds runs the full protocol per seed; table is mean±std."""
+    rc = main(
+        [
+            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "all",
+            "--steps", "2", "--batch-size", "8", "--k", "1", "--n-max", "16",
+            "--out-dir", str(tmp_path / "looms"), "--eval-every", "0",
+            "--seeds", "0", "1",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mean ± std over seeds" in out
+    for scene in ("eth", "hotel", "univ", "zara1", "zara2", "AVG"):
+        assert scene in out
+    assert out.count("±") >= 12  # 6 rows x 2 cols
+
+
 def test_predict_cli_writes_npz(synth_dir, tmp_path, capsys):
     out = str(tmp_path / "pred_run")
     assert main(
