@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "working set stays VMEM-resident (fastest, see "
                          "evaluate.vmem_friendly_batch)")
     ep.add_argument("--seed", type=int, default=0)
+    ep.add_argument("--sigma-scale", type=float, default=1.0,
+                    help="GMM sampling temperature (<1 concentrates samples "
+                         "near component means; 1.0 = untempered protocol; "
+                         "tempered results carry sigma_scale in the metrics)")
     ep.add_argument("--data-parallel", action="store_true",
                     help="shard eval batches over all local devices")
     ep.add_argument("--reduction", default="per_agent",
@@ -349,7 +353,8 @@ def main(argv=None) -> int:
 
             mesh = make_mesh()
         m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size,
-                     args.seed, mesh=mesh, reduction=args.reduction)
+                     args.seed, mesh=mesh, reduction=args.reduction,
+                     sigma_scale=args.sigma_scale)
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
             f"agents={m['n_agents']} dropped={m['n_dropped']}: "

@@ -40,7 +40,8 @@ def vmem_friendly_batch(k: int, n_max: int, cap: int = 64) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent"):
+def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent",
+               sigma_scale: float = 1.0):
     """Jittable per-batch evaluator -> masked error sums + counts.
 
     Cached per (model, k, mesh, reduction): periodic eval during training must
@@ -65,7 +66,8 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
         obs = xy[:, :, : model.obs_len]
         gt = xy[:, :, model.obs_len :]
         carry = model.encode(params, obs, mask, stats)  # shared: rollout + NLL
-        preds = model.rollout_k(params, obs, mask, stats, key, k, carry=carry)
+        preds = model.rollout_k(params, obs, mask, stats, key, k, carry=carry,
+                                sigma_scale=sigma_scale)
         ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
         m = mask.astype(jnp.float32)
         n_per_w = m.sum(axis=1)  # (B,)
@@ -117,6 +119,7 @@ def evaluate(
     seed: int = 0,
     mesh=None,
     reduction: str = "per_agent",
+    sigma_scale: float = 1.0,
 ) -> Dict[str, float]:
     """Full-test-set best-of-K ADE/FDE in world meters.
 
@@ -136,6 +139,9 @@ def evaluate(
         raise ValueError(f"unknown reduction {reduction!r}")
     if batch_size is None:
         batch_size = vmem_friendly_batch(k, test_ds.n_max)
+    # sigma_scale != 1 tempers the GMM sampling (forecaster.decode_rollout);
+    # reported alongside the metrics so tempered numbers can't masquerade as
+    # the untempered protocol.
     n_dropped = int(getattr(test_ds, "n_dropped", 0))
     if n_dropped > 0:
         import warnings
@@ -149,7 +155,7 @@ def evaluate(
         )
     if mesh is not None:
         batch_size += (-batch_size) % mesh.size
-    fn = _eval_sums(model, k, mesh, reduction)
+    fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale))
     key = jax.random.PRNGKey(seed)
     n = len(test_ds)
     mean = jnp.asarray(stats.mean)
@@ -184,4 +190,5 @@ def evaluate(
         "n_windows": n,
         "n_agents": int(n_agents),
         "n_dropped": n_dropped,
+        **({"sigma_scale": float(sigma_scale)} if sigma_scale != 1.0 else {}),
     }

@@ -193,12 +193,18 @@ class Forecaster:
         return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 2), outs)
 
     # -- sampling decode (autoregressive rollout) ----------------------------
-    def decode_rollout(self, params: Params, carry: Carry, xy_last, mask, stats, key):
+    def decode_rollout(self, params: Params, carry: Carry, xy_last, mask, stats, key,
+                       sigma_scale: float = 1.0):
         """One sampled rollout -> absolute positions (B, N, Tp, 2), meters.
 
         Offsets are sampled from the head (GMM) or taken directly
         (deterministic); positions integrate on-device and feed the next
         step's proximity graph.
+
+        ``sigma_scale`` tempers the within-component spread (scales the
+        standard-normal draws; component choice is untouched).  1.0 is the
+        untempered protocol; <1 concentrates samples near component means —
+        the classic best-of-K inference knob.  Static under jit.
 
         All randomness is drawn in ONE batched call before the scan and
         sliced per step (gumbel for component choice + standard normals).
@@ -216,6 +222,8 @@ class Forecaster:
             kg, kn = jax.random.split(key)
             gumbel = jax.random.gumbel(kg, (B, T, N, cfg.num_mixtures), jnp.float32)
             normal = jax.random.normal(kn, (B, T, N, 2), jnp.float32)
+            if sigma_scale != 1.0:
+                normal = normal * jnp.float32(sigma_scale)
             xs = (jnp.moveaxis(gumbel, 1, 0), jnp.moveaxis(normal, 1, 0))
         else:
             xs = (jnp.zeros((T, 0)), jnp.zeros((T, 0)))
@@ -275,7 +283,7 @@ class Forecaster:
         return loss, {"loss": loss}
 
     def rollout_k(self, params: Params, xy_obs, mask, stats: NormStats, key, k: int,
-                  carry: Carry = None):
+                  carry: Carry = None, sigma_scale: float = 1.0):
         """K sampled rollouts, encode once -> (K, B, N, Tp, 2) absolute meters.
 
         The K modes are folded into the batch dimension (tile, decode once,
@@ -288,7 +296,9 @@ class Forecaster:
 
         ``carry``: pass a precomputed encoder carry to skip the internal
         encode (evaluate() shares one encode between the rollout and the
-        teacher-forced NLL)."""
+        teacher-forced NLL).
+        ``sigma_scale``: within-component sampling temperature (see
+        decode_rollout); 1.0 = untempered protocol."""
         B, N = mask.shape
         if carry is None:
             carry = self.encode(params, xy_obs, mask, stats)
@@ -297,12 +307,17 @@ class Forecaster:
         xy_last = tile(xy_obs[:, :, -1])
         mask_k = tile(mask)
         if self.cfg.use_fused_decoder:
-            traj = self._decode_fused(params, carry_k, xy_last, mask_k, stats, key)
+            traj = self._decode_fused(
+                params, carry_k, xy_last, mask_k, stats, key, sigma_scale
+            )
         else:
-            traj = self.decode_rollout(params, carry_k, xy_last, mask_k, stats, key)
+            traj = self.decode_rollout(
+                params, carry_k, xy_last, mask_k, stats, key, sigma_scale
+            )
         return traj.reshape((k, B) + traj.shape[1:])
 
-    def _decode_fused(self, params: Params, carry: Carry, xy_last, mask, stats, key):
+    def _decode_fused(self, params: Params, carry: Carry, xy_last, mask, stats, key,
+                      sigma_scale: float = 1.0):
         """Whole-rollout fused Pallas decoder (mmtraj/ops/fused_decoder.py)."""
         from mmtraj.ops.fused_decoder import fused_decode, permute_head
 
@@ -319,6 +334,8 @@ class Forecaster:
         kg, kn = jax.random.split(key)
         gumbel = jax.random.gumbel(kg, (Bk, T, N, M), dtype=jnp.float32)
         normal = jax.random.normal(kn, (Bk, T, N, 2), dtype=jnp.float32)
+        if sigma_scale != 1.0:  # same stream scaling as the XLA path
+            normal = normal * jnp.float32(sigma_scale)
         hw, hb = permute_head(params["head"]["w"], params["head"]["b"], M)
         traj = fused_decode(
             carry.h, xy_last, mask, gumbel, normal, params["dec"], hw, hb,

@@ -71,6 +71,28 @@ def test_rollout_deterministic_head_identical_samples(rng):
     np.testing.assert_allclose(np.asarray(roll[0]), np.asarray(roll[1]))
 
 
+def test_sigma_scale_tempering(rng):
+    """sigma_scale=1 is the untempered path exactly; <1 shrinks the spread
+    of the K samples around their mean; =0 collapses the within-component
+    noise entirely (samples differ only via component choice)."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    obs, key = xy[:, :, :OBS], jax.random.PRNGKey(7)
+    r_def = model.rollout_k(params, obs, mask, _stats(), key, 8)
+    r_one = model.rollout_k(params, obs, mask, _stats(), key, 8, sigma_scale=1.0)
+    np.testing.assert_array_equal(np.asarray(r_def), np.asarray(r_one))
+    spread = lambda r: float(  # noqa: E731
+        np.asarray(r).std(axis=0)[np.asarray(mask)].mean()
+    )
+    r_half = model.rollout_k(params, obs, mask, _stats(), key, 8, sigma_scale=0.5)
+    r_zero = model.rollout_k(params, obs, mask, _stats(), key, 8, sigma_scale=0.0)
+    assert spread(r_half) < spread(r_one)
+    assert spread(r_zero) < spread(r_half)
+    assert np.isfinite(np.asarray(r_zero)).all()
+
+
 def test_gmm_rollout_samples_differ(rng):
     cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
     model = Forecaster(cfg, OBS, PRED)
