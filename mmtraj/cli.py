@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="GMM sampling temperature (<1 concentrates samples "
                          "near component means; 1.0 = untempered protocol; "
                          "tempered results carry sigma_scale in the metrics)")
+    ep.add_argument("--rollout", default="sample", choices=("sample", "modes"),
+                    help="'sample': K sampled rollouts (protocol); 'modes': "
+                         "one deterministic trajectory per mixture component "
+                         "(best-of-M, M=num_mixtures, no RNG)")
     ep.add_argument("--data-parallel", action="store_true",
                     help="shard eval batches over all local devices")
     ep.add_argument("--reduction", default="per_agent",
@@ -99,6 +103,15 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--auto-n-max", action="store_true",
                     help="raise n_max to the densest test window so no agent "
                          "is dropped from the metric population")
+
+    bp = sub.add_parser(
+        "baseline",
+        help="closed-form baseline ADE/FDE on the held-out scene (no model)",
+    )
+    _add_common(bp)
+    bp.add_argument("--baseline", default="cv", choices=("cv", "zv"),
+                    help="cv: constant velocity (the standard anchor); "
+                         "zv: zero velocity (freeze at last position)")
 
     gp = sub.add_parser("generate-data", help="write the synthetic ETH/UCY-format dataset")
     gp.add_argument("--data-dir", required=True)
@@ -119,6 +132,15 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--src", required=True, help="source checkpoint path")
     cp.add_argument("--dst", required=True,
                     help="destination path; suffix selects the format")
+
+    op = sub.add_parser(
+        "import-obsmat",
+        help="convert a raw BIWI/ETH obsmat (.txt/.mat) to canonical "
+             "annotation txt (frame id x y)",
+    )
+    op.add_argument("--src", required=True, help="obsmat.txt or obsmat.mat")
+    op.add_argument("--dst", required=True,
+                    help="output path (e.g. data/real/eth.txt)")
 
     pp = sub.add_parser("profile-stats",
                         help="summarize a jax.profiler trace (device-time op stats)")
@@ -186,8 +208,8 @@ def _apply_overrides(cfg, args):
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if getattr(args, "scene", None) == "all" and args.cmd != "train":
-        parser.error("--scene all (5-fold leave-one-out) is train-only")
+    if getattr(args, "scene", None) == "all" and args.cmd not in ("train", "baseline"):
+        parser.error("--scene all (5-fold leave-one-out) is train/baseline-only")
 
     if args.cmd == "generate-data":
         from mmtraj.data.synthetic import write_synthetic_dataset
@@ -354,14 +376,53 @@ def main(argv=None) -> int:
             mesh = make_mesh()
         m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size,
                      args.seed, mesh=mesh, reduction=args.reduction,
-                     sigma_scale=args.sigma_scale)
+                     sigma_scale=args.sigma_scale, rollout=args.rollout)
+        red = m["reduction"] + (", modes" if args.rollout == "modes" else "")
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
             f"agents={m['n_agents']} dropped={m['n_dropped']}: "
-            f"best-of-{m['k']} ({m['reduction']}) "
+            f"best-of-{m['k']} ({red}) "
             f"ADE={m['min_ade']:.4f}m FDE={m['min_fde']:.4f}m "
             f"MR@2m={m['miss_rate_2m']:.3f} coll@0.2m={m['collision_rate']:.3f}"
         )
+        return 0
+
+    if args.cmd == "import-obsmat":
+        from mmtraj.data.obsmat import convert_obsmat
+
+        n = convert_obsmat(args.src, args.dst)
+        print(f"wrote {n} rows: {args.src} -> {args.dst}")
+        return 0
+
+    if args.cmd == "baseline":
+        from mmtraj.baselines import evaluate_baseline
+        from mmtraj.config import Config
+        from mmtraj.data.collate import WindowDataset
+        from mmtraj.data.registry import load_scene_windows
+
+        cfg = _apply_overrides(Config(), args)
+        scenes = SCENES if args.scene == "all" else (cfg.data.scene,)
+        rows = []
+        for scene in scenes:
+            windows = load_scene_windows(
+                cfg.data.data_dir, scene, cfg.data.obs_len, cfg.data.pred_len,
+                cfg.data.stride, cfg.data.min_agents,
+            )
+            # Closed-form baselines have no device shapes to protect — pad to
+            # the densest window so the metric population is always complete.
+            n_max = max(cfg.data.n_max,
+                        max((w.shape[0] for w in windows), default=1))
+            m = evaluate_baseline(
+                WindowDataset(windows, n_max), cfg.data.obs_len, args.baseline
+            )
+            rows.append(m)
+            print(f"scene={scene} windows={m['n_windows']} "
+                  f"agents={m['n_agents']}: {args.baseline.upper()} "
+                  f"ADE={m['min_ade']:.4f}m FDE={m['min_fde']:.4f}m")
+        if len(rows) > 1:
+            print(f"average over {len(rows)} scenes: "
+                  f"ADE={sum(m['min_ade'] for m in rows) / len(rows):.4f}m "
+                  f"FDE={sum(m['min_fde'] for m in rows) / len(rows):.4f}m")
         return 0
 
     if args.cmd == "visualize":

@@ -41,7 +41,7 @@ def vmem_friendly_batch(k: int, n_max: int, cap: int = 64) -> int:
 
 @functools.lru_cache(maxsize=32)
 def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent",
-               sigma_scale: float = 1.0):
+               sigma_scale: float = 1.0, rollout: str = "sample"):
     """Jittable per-batch evaluator -> masked error sums + counts.
 
     Cached per (model, k, mesh, reduction): periodic eval during training must
@@ -66,8 +66,13 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
         obs = xy[:, :, : model.obs_len]
         gt = xy[:, :, model.obs_len :]
         carry = model.encode(params, obs, mask, stats)  # shared: rollout + NLL
-        preds = model.rollout_k(params, obs, mask, stats, key, k, carry=carry,
-                                sigma_scale=sigma_scale)
+        if rollout == "modes":
+            # Deterministic best-of-M over the mixture components (the
+            # alternative multimodal protocol — forecaster.rollout_modes).
+            preds = model.rollout_modes(params, obs, mask, stats, carry=carry)
+        else:
+            preds = model.rollout_k(params, obs, mask, stats, key, k, carry=carry,
+                                    sigma_scale=sigma_scale)
         ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
         m = mask.astype(jnp.float32)
         n_per_w = m.sum(axis=1)  # (B,)
@@ -120,6 +125,7 @@ def evaluate(
     mesh=None,
     reduction: str = "per_agent",
     sigma_scale: float = 1.0,
+    rollout: str = "sample",
 ) -> Dict[str, float]:
     """Full-test-set best-of-K ADE/FDE in world meters.
 
@@ -137,6 +143,14 @@ def evaluate(
     dense scenes (use a larger n_max / --auto-n-max to include everyone)."""
     if reduction not in ("per_agent", "per_window"):
         raise ValueError(f"unknown reduction {reduction!r}")
+    if rollout not in ("sample", "modes"):
+        raise ValueError(f"unknown rollout {rollout!r}")
+    if rollout == "modes":
+        # Deterministic enumeration of the head's components: best-of-M with
+        # M = num_mixtures; K and sigma_scale are sampling-only knobs.
+        if model.cfg.head != "gmm":
+            raise ValueError("rollout='modes' requires the GMM head")
+        k = model.cfg.num_mixtures
     if batch_size is None:
         batch_size = vmem_friendly_batch(k, test_ds.n_max)
     # sigma_scale != 1 tempers the GMM sampling (forecaster.decode_rollout);
@@ -155,7 +169,7 @@ def evaluate(
         )
     if mesh is not None:
         batch_size += (-batch_size) % mesh.size
-    fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale))
+    fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale), rollout)
     key = jax.random.PRNGKey(seed)
     n = len(test_ds)
     mean = jnp.asarray(stats.mean)
@@ -191,4 +205,5 @@ def evaluate(
         "n_agents": int(n_agents),
         "n_dropped": n_dropped,
         **({"sigma_scale": float(sigma_scale)} if sigma_scale != 1.0 else {}),
+        **({"rollout": rollout} if rollout != "sample" else {}),
     }

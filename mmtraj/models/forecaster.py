@@ -316,6 +316,47 @@ class Forecaster:
             )
         return traj.reshape((k, B) + traj.shape[1:])
 
+    def rollout_modes(self, params: Params, xy_obs, mask, stats: NormStats,
+                      carry: Carry = None):
+        """One deterministic trajectory per mixture component
+        -> (M, B, N, Tp, 2) absolute meters, M = cfg.num_mixtures.
+
+        The alternative multimodal-inference semantics SURVEY.md §2.3 flags
+        as unverified in the reference ("one trajectory per mixture mode
+        [A — verify which]"): instead of sampling, trajectory m follows
+        component m's MEAN offset at every step, enumerating the head's
+        modes.  No RNG — repeat-deterministic, so best-of-M eval on this
+        path needs no seed protocol.  M is folded into the batch dim
+        exactly like rollout_k (block m of the flat batch carries a fixed
+        one-hot selecting component m)."""
+        cfg = self.cfg
+        if cfg.head != "gmm":
+            raise ValueError("rollout_modes requires the GMM head")
+        M = cfg.num_mixtures
+        B, N = mask.shape
+        if carry is None:
+            carry = self.encode(params, xy_obs, mask, stats)
+        tile = lambda a: jnp.tile(a, (M,) + (1,) * (a.ndim - 1))  # noqa: E731
+        carry_m = Carry(h=tile(carry.h), c=tile(carry.c))
+        xy_last = tile(xy_obs[:, :, -1])
+        mask_m = tile(mask)
+        # tile() lays out flat row m*B+b as (batch b, copy m); eye-rows
+        # repeated B times line up so that row m*B+b selects component m.
+        onehot = jnp.repeat(jnp.eye(M, dtype=jnp.float32), B, axis=0)
+        onehot = jnp.broadcast_to(onehot[:, None, :], (M * B, N, M))
+
+        def body(state, _):
+            carry, xy = state
+            out = self._head(params, carry.h)
+            dxy_n = jnp.einsum("...m,...md->...d", onehot, out.mu)
+            xy_new = xy + denormalize(dxy_n, stats)
+            carry = _step(params["dec"], cfg, carry, dxy_n, xy_new, mask_m)
+            return (carry, xy_new), xy_new
+
+        _, traj = jax.lax.scan(body, (carry_m, xy_last), None, length=self.pred_len)
+        traj = jnp.moveaxis(traj, 0, 2)  # (M*B, N, Tp, 2)
+        return traj.reshape((M, B) + traj.shape[1:])
+
     def _decode_fused(self, params: Params, carry: Carry, xy_last, mask, stats, key,
                       sigma_scale: float = 1.0):
         """Whole-rollout fused Pallas decoder (mmtraj/ops/fused_decoder.py)."""

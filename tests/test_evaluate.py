@@ -142,3 +142,20 @@ def test_unknown_reduction_rejected(setup):
     ds = WindowDataset(_windows(rng, 2), n_max=8)
     with pytest.raises(ValueError, match="reduction"):
         evaluate(model, params, stats, ds, k=1, reduction="per_galaxy")
+
+
+def test_mode_rollout_eval(setup):
+    """rollout='modes': deterministic (seed-independent), K forced to
+    num_mixtures, tagged in the metrics dict."""
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 5), n_max=8)
+    m1 = evaluate(model, params, stats, ds, k=7, seed=0, rollout="modes")
+    m2 = evaluate(model, params, stats, ds, k=7, seed=123, rollout="modes")
+    assert m1["k"] == model.cfg.num_mixtures  # k is a sampling-only knob here
+    assert m1["rollout"] == "modes"
+    assert m1["min_ade"] == m2["min_ade"]  # no RNG in the mode decode
+    assert m1["min_fde"] == m2["min_fde"]
+    assert np.isfinite(m1["min_ade"]) and m1["min_ade"] > 0
+
+    with pytest.raises(ValueError, match="rollout"):
+        evaluate(model, params, stats, ds, k=1, rollout="quantum")

@@ -93,6 +93,51 @@ def test_sigma_scale_tempering(rng):
     assert np.isfinite(np.asarray(r_zero)).all()
 
 
+def test_rollout_modes_shape_and_determinism(rng):
+    """Mode enumeration: (M, B, N, Tp, 2), finite, and RNG-free (two calls
+    bit-identical)."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1,
+                      num_mixtures=3)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    obs = xy[:, :, :OBS]
+    r1 = model.rollout_modes(params, obs, mask, _stats())
+    r2 = model.rollout_modes(params, obs, mask, _stats())
+    assert r1.shape == (3, xy.shape[0], xy.shape[1], PRED, 2)
+    assert np.isfinite(np.asarray(r1)).all()
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_rollout_modes_single_mixture_matches_zero_noise_sample(rng):
+    """With M=1 the only mode's mean-following trajectory must equal a
+    sampled rollout with the noise collapsed (sigma_scale=0): both follow
+    component 0's mean exactly."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1,
+                      num_mixtures=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    obs = xy[:, :, :OBS]
+    modes = model.rollout_modes(params, obs, mask, _stats())
+    sampled = model.rollout_k(params, obs, mask, _stats(), jax.random.PRNGKey(3),
+                              1, sigma_scale=0.0)
+    np.testing.assert_allclose(
+        np.asarray(modes), np.asarray(sampled), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_rollout_modes_requires_gmm(rng):
+    cfg = ModelConfig(cell="gru", social=True, head="deterministic", num_heads=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    import pytest
+
+    with pytest.raises(ValueError, match="GMM head"):
+        model.rollout_modes(params, xy[:, :, :OBS], mask, _stats())
+
+
 def test_gmm_rollout_samples_differ(rng):
     cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
     model = Forecaster(cfg, OBS, PRED)
