@@ -54,7 +54,11 @@ def main() -> int:
     # The canonical XLA GAT path measures fastest at these shapes (106k/s vs
     # 85k/s for the best fused-Pallas variant — see mmtraj/ops/fused_gat.py
     # for the comparison log); the kernel stays available via use_pallas.
-    model_cfg = dataclasses.replace(cfg.model, use_pallas=False)
+    # scan_unroll=12 fully unrolls the 8/12-step time loops: the rollout is
+    # latency-bound and dropping the XLA while-loops measured +7.5%
+    # (168k -> 180k window-rollouts/s; unroll 2/3/4 were neutral, and
+    # training is *slower* unrolled — ARCHITECTURE.md pt 10).
+    model_cfg = dataclasses.replace(cfg.model, use_pallas=False, scan_unroll=12)
     # B=25 is the measured optimum, not a tuning accident: at B*K=500 rows the
     # per-head attention tensor alpha ([B*K, N, N] bf16 = 4.10 MB) fits XLA's
     # scoped-VMEM window, so the softmax->aggregate chain never round-trips

@@ -77,11 +77,14 @@ def bench_train_step(
     iters: int = 30,
     warmup: int = 3,
     profile_dir: Optional[str] = None,
+    unroll: int = 1,
 ) -> TrainBenchResult:
     """Time the config-4 (flagship) jitted train step at the given knobs."""
     cfg = config4()
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, dtype=dtype, remat=remat),
+        model=dataclasses.replace(
+            cfg.model, dtype=dtype, remat=remat, scan_unroll=unroll
+        ),
         train=dataclasses.replace(cfg.train, batch_size=batch_size),
     )
     model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
@@ -151,6 +154,8 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the model's time loops")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument(
@@ -177,7 +182,7 @@ def main(argv=None) -> None:
         return
     r = bench_train_step(
         args.batch, args.dtype, not args.no_remat,
-        iters=args.iters, profile_dir=args.profile,
+        iters=args.iters, profile_dir=args.profile, unroll=args.unroll,
     )
     print(_fmt(r))
     if args.profile:

@@ -59,6 +59,11 @@ class ModelConfig:
     # trading recompute FLOPs for HBM traffic/footprint.  Enables much larger
     # batches; measure before enabling for speed (see ARCHITECTURE.md).
     remat: bool = False
+    # lax.scan unroll factor for the 8/12-step encoder/decoder time loops.
+    # The step is latency-bound (~2% MFU, ARCHITECTURE.md pt 9), so shaving
+    # while-loop iteration overhead is the relevant axis; measured table in
+    # ARCHITECTURE.md pt 10.  1 = plain scan.
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -148,7 +148,7 @@ class Forecaster:
 
         if cfg.remat:
             body = jax.checkpoint(body)
-        carry, _ = jax.lax.scan(body, carry0, xs)
+        carry, _ = jax.lax.scan(body, carry0, xs, unroll=cfg.scan_unroll)
 
         h = jnp.tanh(dense(params["bridge_h"], carry.h))
         c = (
@@ -188,7 +188,7 @@ class Forecaster:
 
         if cfg.remat:
             body = jax.checkpoint(body)
-        _, outs = jax.lax.scan(body, carry, xs)
+        _, outs = jax.lax.scan(body, carry, xs, unroll=cfg.scan_unroll)
         # (Tp, B, N, ...) -> (B, N, Tp, ...)
         return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 2), outs)
 
@@ -240,7 +240,7 @@ class Forecaster:
             carry = _step(params["dec"], cfg, carry, dxy_n, xy_new, mask)
             return (carry, xy_new), xy_new
 
-        _, traj = jax.lax.scan(body, (carry, xy_last), xs)
+        _, traj = jax.lax.scan(body, (carry, xy_last), xs, unroll=cfg.scan_unroll)
         return jnp.moveaxis(traj, 0, 2)  # (B, N, Tp, 2)
 
     # -- public API ----------------------------------------------------------
@@ -353,7 +353,10 @@ class Forecaster:
             carry = _step(params["dec"], cfg, carry, dxy_n, xy_new, mask_m)
             return (carry, xy_new), xy_new
 
-        _, traj = jax.lax.scan(body, (carry_m, xy_last), None, length=self.pred_len)
+        _, traj = jax.lax.scan(
+            body, (carry_m, xy_last), None, length=self.pred_len,
+            unroll=cfg.scan_unroll,
+        )
         traj = jnp.moveaxis(traj, 0, 2)  # (M*B, N, Tp, 2)
         return traj.reshape((M, B) + traj.shape[1:])
 

@@ -138,6 +138,29 @@ def test_rollout_modes_requires_gmm(rng):
         model.rollout_modes(params, xy[:, :, :OBS], mask, _stats())
 
 
+def test_scan_unroll_trajectory_exact(rng):
+    """unroll is a scheduling knob: any factor (divisible or not, or full
+    unroll) must produce bit-identical losses and trajectories."""
+    import dataclasses
+
+    xy, mask = _batch(rng)
+    obs, key = xy[:, :, :OBS], jax.random.PRNGKey(5)
+    base_cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
+    ref_model = Forecaster(base_cfg, OBS, PRED)
+    params = ref_model.init(jax.random.PRNGKey(0))
+    ref_loss = ref_model.loss(params, xy, mask, _stats())[0]
+    ref_roll = ref_model.rollout_k(params, obs, mask, _stats(), key, 4)
+    for unroll in (2, 3, 12):  # 3 does not divide To=8; 12 = full decode
+        m = Forecaster(dataclasses.replace(base_cfg, scan_unroll=unroll), OBS, PRED)
+        np.testing.assert_array_equal(
+            np.asarray(m.loss(params, xy, mask, _stats())[0]), np.asarray(ref_loss)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m.rollout_k(params, obs, mask, _stats(), key, 4)),
+            np.asarray(ref_roll),
+        )
+
+
 def test_gmm_rollout_samples_differ(rng):
     cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
     model = Forecaster(cfg, OBS, PRED)
