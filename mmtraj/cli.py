@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="GMM sampling temperature (<1 concentrates samples "
                          "near component means; 1.0 = untempered protocol; "
                          "tempered results carry sigma_scale in the metrics)")
+    ep.add_argument("--oversample", type=int, default=1,
+                    help="sample R=oversample*K rollouts and keep the K most "
+                         "endpoint-diverse per agent (sample-and-select; "
+                         "1 = plain i.i.d. K, the default protocol)")
     ep.add_argument("--rollout", default="sample", choices=("sample", "modes"),
                     help="'sample': K sampled rollouts (protocol); 'modes': "
                          "one deterministic trajectory per mixture component "
@@ -376,7 +380,8 @@ def main(argv=None) -> int:
             mesh = make_mesh()
         m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size,
                      args.seed, mesh=mesh, reduction=args.reduction,
-                     sigma_scale=args.sigma_scale, rollout=args.rollout)
+                     sigma_scale=args.sigma_scale, rollout=args.rollout,
+                     oversample=args.oversample)
         red = m["reduction"] + (", modes" if args.rollout == "modes" else "")
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "

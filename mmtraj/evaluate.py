@@ -41,7 +41,8 @@ def vmem_friendly_batch(k: int, n_max: int, cap: int = 64) -> int:
 
 @functools.lru_cache(maxsize=32)
 def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent",
-               sigma_scale: float = 1.0, rollout: str = "sample"):
+               sigma_scale: float = 1.0, rollout: str = "sample",
+               oversample: int = 1):
     """Jittable per-batch evaluator -> masked error sums + counts.
 
     Cached per (model, k, mesh, reduction): periodic eval during training must
@@ -84,8 +85,15 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
             # alternative multimodal protocol — forecaster.rollout_modes).
             preds = model.rollout_modes(params, obs, mask, stats, carry=carry)
         else:
-            preds = model.rollout_k(params, obs, mask, stats, key, k, carry=carry,
+            preds = model.rollout_k(params, obs, mask, stats, key,
+                                    k * oversample, carry=carry,
                                     sigma_scale=sigma_scale)
+            if oversample > 1:
+                # Sample-and-select: keep the K most endpoint-diverse of the
+                # R=oversample*K candidates per agent (models/sampling.py).
+                from mmtraj.models.sampling import diverse_select
+
+                preds = diverse_select(preds, k)
         ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
         m = mask.astype(jnp.float32)
         n_per_w = m.sum(axis=1)  # (B,)
@@ -139,6 +147,7 @@ def evaluate(
     reduction: str = "per_agent",
     sigma_scale: float = 1.0,
     rollout: str = "sample",
+    oversample: int = 1,
 ) -> Dict[str, float]:
     """Full-test-set best-of-K ADE/FDE in world meters.
 
@@ -158,14 +167,26 @@ def evaluate(
         raise ValueError(f"unknown reduction {reduction!r}")
     if rollout not in ("sample", "modes"):
         raise ValueError(f"unknown rollout {rollout!r}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    if oversample > 1 and reduction == "per_window":
+        # Per-agent selection composes each submitted "sample" from different
+        # candidate indices per agent, which breaks the joint-sample semantics
+        # the per_window protocol scores.  (A joint window-level selection
+        # would be the consistent variant; not built until a protocol needs it.)
+        raise ValueError("oversample currently supports per_agent reduction only")
     if rollout == "modes":
         # Deterministic enumeration of the head's components: best-of-M with
         # M = num_mixtures; K and sigma_scale are sampling-only knobs.
         if model.cfg.head != "gmm":
             raise ValueError("rollout='modes' requires the GMM head")
+        if oversample > 1:
+            raise ValueError("oversample applies to sampled rollouts only")
         k = model.cfg.num_mixtures
     if batch_size is None:
-        batch_size = vmem_friendly_batch(k, test_ds.n_max)
+        # The rollout working set scales with the sampled rows — R =
+        # oversample*K of them when sample-and-select is on.
+        batch_size = vmem_friendly_batch(k * oversample, test_ds.n_max)
     # sigma_scale != 1 tempers the GMM sampling (forecaster.decode_rollout);
     # reported alongside the metrics so tempered numbers can't masquerade as
     # the untempered protocol.
@@ -182,7 +203,8 @@ def evaluate(
         )
     if mesh is not None:
         batch_size += (-batch_size) % mesh.size
-    fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale), rollout)
+    fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale), rollout,
+                    int(oversample))
     key = jax.random.PRNGKey(seed)
     n = len(test_ds)
     mean = jnp.asarray(stats.mean)
@@ -219,4 +241,5 @@ def evaluate(
         "n_dropped": n_dropped,
         **({"sigma_scale": float(sigma_scale)} if sigma_scale != 1.0 else {}),
         **({"rollout": rollout} if rollout != "sample" else {}),
+        **({"oversample": int(oversample)} if oversample > 1 else {}),
     }

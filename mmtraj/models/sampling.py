@@ -1,0 +1,61 @@
+"""Inference-time sample-set construction: diverse K-subset selection.
+
+Best-of-K protocols score the BEST of the K submitted trajectories, so the
+optimal K-set maximizes *coverage* of the predictive distribution, not
+likelihood — i.i.d. sampling wastes draws on near-duplicates around the
+dominant mode.  The classic fix (sample-and-select, used across this model
+family's literature) is to oversample R = ratio*K rollouts and keep a
+diverse K-subset.  Greedy farthest-point selection on trajectory endpoints:
+start from sample 0, then repeatedly add the candidate whose nearest chosen
+endpoint is farthest (max-min), per agent.
+
+TPU notes: selection indices vary per (batch, agent), and gathers at that
+granularity measured ~150x slower than the surrounding math on v5e
+(mmtraj/models/gmm.py sample_from); every per-agent "gather" here is a
+one-hot einsum on the VPU instead.  The loop over K iterations is a static
+Python loop (K is a trace-time constant), so the whole selection fuses into
+the jitted eval program.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def diverse_select(preds: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Greedy farthest-point K-subset per agent.
+
+    preds (R, B, N, Tp, 2) candidate rollouts -> (K, B, N, Tp, 2), where each
+    agent's K trajectories are chosen from its R candidates to maximize
+    min pairwise endpoint distance (greedy 2-approximation).  R == K returns
+    a permutation of the input (starting at sample 0); requires R >= K.
+    """
+    R = preds.shape[0]
+    if k > R:
+        raise ValueError(f"cannot select {k} from {R} candidates")
+    if k == R:
+        return preds
+    end = preds[..., -1, :].astype(jnp.float32)  # (R, B, N, 2)
+    # Pairwise endpoint distances once: (R, R, B, N).
+    d2 = ((end[:, None] - end[None, :]) ** 2).sum(-1)
+
+    # Chosen set as one-hot rows; mind[r] = distance from candidate r to its
+    # nearest chosen endpoint (inf-free: start from candidate 0).
+    onehots = [jnp.zeros(end.shape[:-1], jnp.float32).at[0].set(1.0)]  # (R,B,N)
+    mind = d2[0]  # (R, B, N)
+    for _ in range(k - 1):
+        nxt = jnp.argmax(mind, axis=0)  # (B, N) farthest-from-chosen
+        oh = _one_hot_rbn(nxt, R)
+        onehots.append(oh)
+        # Distances to the newly chosen candidate, via one-hot contraction
+        # (not a gather): (R,R,B,N) x (R,B,N) -> (R,B,N).
+        d_new = jnp.einsum("rsbn,sbn->rbn", d2, oh)
+        mind = jnp.minimum(mind, d_new)
+    # Materialize the K selected trajectories, again by contraction.
+    sel = jnp.stack(onehots)  # (K, R, B, N)
+    return jnp.einsum("krbn,rbntd->kbntd", sel, preds)
+
+
+def _one_hot_rbn(idx: jnp.ndarray, R: int) -> jnp.ndarray:
+    """(B, N) int -> (R, B, N) float32 one-hot along the leading axis."""
+    return (jnp.arange(R)[:, None, None] == idx[None]).astype(jnp.float32)

@@ -144,6 +144,28 @@ def test_unknown_reduction_rejected(setup):
         evaluate(model, params, stats, ds, k=1, reduction="per_galaxy")
 
 
+def test_oversample_eval(setup):
+    """oversample: metrics tagged, never worse than i.i.d. K at the same
+    seed by much (same model; selection only reorders coverage), invalid
+    values rejected."""
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 5), n_max=8)
+    m1 = evaluate(model, params, stats, ds, k=4, seed=0)
+    m3 = evaluate(model, params, stats, ds, k=4, seed=0, oversample=3)
+    assert "oversample" not in m1 and m3["oversample"] == 3
+    assert m3["k"] == 4  # still a best-of-4 protocol
+    assert np.isfinite(m3["min_ade"]) and m3["min_ade"] > 0
+    # Untrained model, synthetic targets: selection changes the submitted
+    # 4-set; just require the same order of magnitude (correctness of the
+    # selection itself is pinned in tests/test_sampling.py).
+    assert 0.3 < m3["min_ade"] / m1["min_ade"] < 3.0
+
+    with pytest.raises(ValueError, match="oversample"):
+        evaluate(model, params, stats, ds, k=2, oversample=0)
+    with pytest.raises(ValueError, match="sampled rollouts"):
+        evaluate(model, params, stats, ds, k=2, oversample=2, rollout="modes")
+
+
 def test_mode_rollout_eval(setup):
     """rollout='modes': deterministic (seed-independent), K forced to
     num_mixtures, tagged in the metrics dict."""
