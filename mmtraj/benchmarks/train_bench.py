@@ -171,7 +171,8 @@ def main(argv=None) -> None:
             for dtype in ("float32", "bfloat16"):
                 for remat in (True, False):
                     try:
-                        r = bench_train_step(batch, dtype, remat, iters=args.iters)
+                        r = bench_train_step(batch, dtype, remat,
+                                             iters=args.iters, unroll=args.unroll)
                         print(_fmt(r), flush=True)
                     except Exception as e:  # e.g. OOM at B=1024 without remat
                         print(

@@ -281,11 +281,17 @@ def load(path: str) -> Checkpoint:
             return load_h5(path)
         except Exception as e:
             _fail(path, "HDF5 .h5", e)
-    if path.endswith(".npz") or os.path.isfile(path + ".npz"):
+    # Resolve the implicit-.npz convenience ONCE, and only when the bare path
+    # doesn't itself exist — if both files exist the named file wins (and is
+    # magic-sniffed below), so errors always name the file actually opened.
+    if path.endswith(".npz") or (
+        os.path.isfile(path + ".npz") and not os.path.isfile(path)
+    ):
+        resolved = path if path.endswith(".npz") else path + ".npz"
         try:
-            return load_npz(path)
+            return load_npz(resolved)
         except Exception as e:
-            _fail(path if path.endswith(".npz") else path + ".npz", "numpy .npz", e)
+            _fail(resolved, "numpy .npz", e)
     if os.path.isfile(path):
         with open(path, "rb") as f:
             magic = f.read(4)

@@ -174,6 +174,35 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _load_eval_dataset(cfg, auto_n_max: bool, context: str):
+    """Load the held-out scene as a WindowDataset, with the shared
+    auto-n-max raise + overflow warning (eval and predict paths)."""
+    from mmtraj.data.collate import WindowDataset
+    from mmtraj.data.registry import load_scene_windows
+
+    windows = load_scene_windows(
+        cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
+        cfg.data.stride, cfg.data.min_agents,
+    )
+    n_max = cfg.data.n_max
+    densest = max((w.shape[0] for w in windows), default=0)
+    if auto_n_max and densest > n_max:
+        print(f"auto-n-max: raising n_max {n_max} -> {densest} "
+              "(densest window) so no agent is dropped")
+        n_max = densest
+    ds = WindowDataset(windows, n_max)
+    if ds.n_dropped:
+        print(f"WARNING: {ds.n_dropped} agents exceed n_max={n_max} and are "
+              f"excluded from {context} (use --auto-n-max)")
+    return ds, n_max
+
+
+def _nan(x):
+    """None (a fold with nothing to eval) -> NaN so tables print instead of
+    crashing after all folds trained."""
+    return float("nan") if x is None else x
+
+
 def _apply_overrides(cfg, args):
     model, data, train = cfg.model, cfg.data, cfg.train
     dk = {k: v for k, v in {
@@ -267,7 +296,8 @@ def main(argv=None) -> int:
             if len(seeds) > 1:
                 print(f"\nseed {seed} leave-one-out (config {args.config}):")
                 for scene, a, f, _ in rows:
-                    print(f"  {scene:8s} {a:8.4f} {f:8.4f}")
+                    # a/f are None when a fold had no test windows to eval.
+                    print(f"  {scene:8s} {_nan(a):8.4f} {_nan(f):8.4f}")
 
         if len(seeds) == 1:
             rows = per_seed[0]
@@ -276,8 +306,7 @@ def main(argv=None) -> int:
             ades = [a for _, a, _, _ in rows if a is not None]
             fdes = [f for _, _, f, _ in rows if f is not None]
             for scene, a, f, k in rows:
-                print(f"{scene:8s} {a if a is not None else float('nan'):8.4f} "
-                      f"{f if f is not None else float('nan'):8.4f}")
+                print(f"{scene:8s} {_nan(a):8.4f} {_nan(f):8.4f}")
             if ades:
                 print(f"{'AVG':8s} {sum(ades)/len(ades):8.4f} "
                       f"{sum(fdes)/len(fdes):8.4f} (best-of-{rows[0][3]})")
@@ -289,13 +318,13 @@ def main(argv=None) -> int:
             print(f"{'scene':8s} {'ADE(m)':>16s} {'FDE(m)':>16s}")
             avg_a, avg_f = [], []
             for i, scene in enumerate(SCENES):
-                a = [rows[i][1] for rows in per_seed]
-                f = [rows[i][2] for rows in per_seed]
+                a = [_nan(rows[i][1]) for rows in per_seed]
+                f = [_nan(rows[i][2]) for rows in per_seed]
                 print(f"{scene:8s} {_st.mean(a):8.4f}±{_st.stdev(a):6.4f} "
                       f"{_st.mean(f):8.4f}±{_st.stdev(f):6.4f}")
             for rows in per_seed:
-                avg_a.append(sum(r[1] for r in rows) / len(rows))
-                avg_f.append(sum(r[2] for r in rows) / len(rows))
+                avg_a.append(sum(_nan(r[1]) for r in rows) / len(rows))
+                avg_f.append(sum(_nan(r[2]) for r in rows) / len(rows))
             print(f"{'AVG':8s} {_st.mean(avg_a):8.4f}±{_st.stdev(avg_a):6.4f} "
                   f"{_st.mean(avg_f):8.4f}±{_st.stdev(avg_f):6.4f} "
                   f"(best-of-{per_seed[0][0][3]})")
@@ -350,28 +379,13 @@ def main(argv=None) -> int:
         import jax
 
         from mmtraj import checkpoint as ckpt_lib
-        from mmtraj.data.collate import WindowDataset
-        from mmtraj.data.registry import load_scene_windows
         from mmtraj.evaluate import evaluate
         from mmtraj.models.forecaster import Forecaster
 
         ck = ckpt_lib.load(args.ckpt)
         params, stats, step = ck.params, ck.stats, ck.step
         cfg = _apply_overrides(ck.config, args)
-        windows = load_scene_windows(
-            cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
-            cfg.data.stride, cfg.data.min_agents,
-        )
-        n_max = cfg.data.n_max
-        densest = max((w.shape[0] for w in windows), default=0)
-        if args.auto_n_max and densest > n_max:
-            print(f"auto-n-max: raising n_max {n_max} -> {densest} "
-                  "(densest test window) so no agent is dropped")
-            n_max = densest
-        ds = WindowDataset(windows, n_max)
-        if ds.n_dropped:
-            print(f"WARNING: {ds.n_dropped} agents exceed n_max={n_max} and are "
-                  "excluded from the metric population (use --auto-n-max)")
+        ds, _ = _load_eval_dataset(cfg, args.auto_n_max, "the metric population")
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
         mesh = None
         if args.data_parallel:
@@ -484,25 +498,11 @@ def main(argv=None) -> int:
         import numpy as np
 
         from mmtraj import checkpoint as ckpt_lib
-        from mmtraj.data.collate import WindowDataset
-        from mmtraj.data.registry import load_scene_windows
         from mmtraj.models.forecaster import Forecaster
 
         ck = ckpt_lib.load(args.ckpt)
         cfg = _apply_overrides(ck.config, args)
-        windows = load_scene_windows(
-            cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
-            cfg.data.stride, cfg.data.min_agents,
-        )
-        n_max = cfg.data.n_max
-        densest = max((w.shape[0] for w in windows), default=0)
-        if args.auto_n_max and densest > n_max:
-            print(f"auto-n-max: raising n_max {n_max} -> {densest}")
-            n_max = densest
-        ds = WindowDataset(windows, n_max)
-        if ds.n_dropped:
-            print(f"WARNING: {ds.n_dropped} agents exceed n_max={n_max} and are "
-                  "missing from predictions (use --auto-n-max)")
+        ds, n_max = _load_eval_dataset(cfg, args.auto_n_max, "predictions")
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
         k, bs = cfg.train.k_samples, args.batch_size
         if bs is None:

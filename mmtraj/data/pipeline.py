@@ -63,10 +63,19 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     done = object()
     lock = threading.Semaphore(0)
     space = threading.Semaphore(size)
+    stop = threading.Event()
 
     def producer():
         for item in iterator:
-            space.acquire()
+            # Poll the slot semaphore so an abandoned consumer (e.g. the
+            # trainer breaking out mid-epoch at the step budget) releases
+            # this thread and its queued device buffers instead of leaking
+            # them for the process lifetime.
+            while not space.acquire(timeout=0.1):
+                if stop.is_set():
+                    return
+            if stop.is_set():
+                return
             queue.append(jax.device_put(item, sharding))
             lock.release()
         queue.append(done)
@@ -74,10 +83,15 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        lock.acquire()
-        item = queue.popleft()
-        if item is done:
-            return
-        space.release()
-        yield item
+    try:
+        while True:
+            lock.acquire()
+            item = queue.popleft()
+            if item is done:
+                return
+            space.release()
+            yield item
+    finally:
+        # Runs on normal exhaustion AND on generator close (consumer break).
+        stop.set()
+        queue.clear()  # drop device buffers promptly

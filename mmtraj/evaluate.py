@@ -88,12 +88,16 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
             preds = model.rollout_k(params, obs, mask, stats, key,
                                     k * oversample, carry=carry,
                                     sigma_scale=sigma_scale)
-            if oversample > 1:
-                # Sample-and-select: keep the K most endpoint-diverse of the
-                # R=oversample*K candidates per agent (models/sampling.py).
-                from mmtraj.models.sampling import diverse_select
+        # Collision is defined between agents OF THE SAME JOINT SAMPLE
+        # (metrics.py); per-agent diverse selection destroys that pairing,
+        # so measure it on the first K raw (still-joint) rollouts.
+        joint_k = preds[:k]
+        if rollout != "modes" and oversample > 1:
+            # Sample-and-select: keep the K most endpoint-diverse of the
+            # R=oversample*K candidates per agent (models/sampling.py).
+            from mmtraj.models.sampling import diverse_select
 
-                preds = diverse_select(preds, k)
+            preds = diverse_select(preds, k)
         ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
         m = mask.astype(jnp.float32)
         n_per_w = m.sum(axis=1)  # (B,)
@@ -108,7 +112,7 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
             ade_sum = (ade_k.min(axis=0) * m).sum()
             fde_sum = (fde_k.min(axis=0) * m).sum()
         miss = miss_rate(preds, gt, mask) * m.sum()  # MR-K@2m numerator
-        coll = collision_rate(preds, mask) * m.sum()  # per-agent-normalized
+        coll = collision_rate(joint_k, mask) * m.sum()  # per-agent-normalized
         # Predictive NLL of the ground-truth future under the (teacher-forced)
         # per-step mixture — the probabilistic-quality metric; 0 for
         # deterministic heads.
@@ -169,6 +173,11 @@ def evaluate(
         raise ValueError(f"unknown rollout {rollout!r}")
     if oversample < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
+    if sigma_scale != 1.0 and (rollout == "modes" or model.cfg.head != "gmm"):
+        # Tempering scales GMM sampling noise; the mode decode and
+        # deterministic heads never sample, so a non-1 value would stamp
+        # "tempered" onto numbers it did not affect.
+        raise ValueError("sigma_scale applies to sampled GMM rollouts only")
     if oversample > 1 and reduction == "per_window":
         # Per-agent selection composes each submitted "sample" from different
         # candidate indices per agent, which breaks the joint-sample semantics
@@ -183,6 +192,10 @@ def evaluate(
         if oversample > 1:
             raise ValueError("oversample applies to sampled rollouts only")
         k = model.cfg.num_mixtures
+    if oversample > 1 and model.cfg.head != "gmm":
+        # A deterministic head rolls out k identical trajectories; there is
+        # nothing to diversify.
+        raise ValueError("oversample requires the sampling (GMM) head")
     if batch_size is None:
         # The rollout working set scales with the sampled rows — R =
         # oversample*K of them when sample-and-select is on.

@@ -19,6 +19,7 @@ the jitted eval program.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,7 +46,7 @@ def diverse_select(preds: jnp.ndarray, k: int) -> jnp.ndarray:
     mind = d2[0]  # (R, B, N)
     for _ in range(k - 1):
         nxt = jnp.argmax(mind, axis=0)  # (B, N) farthest-from-chosen
-        oh = _one_hot_rbn(nxt, R)
+        oh = jax.nn.one_hot(nxt, R, axis=0, dtype=jnp.float32)  # (R, B, N)
         onehots.append(oh)
         # Distances to the newly chosen candidate, via one-hot contraction
         # (not a gather): (R,R,B,N) x (R,B,N) -> (R,B,N).
@@ -54,8 +55,3 @@ def diverse_select(preds: jnp.ndarray, k: int) -> jnp.ndarray:
     # Materialize the K selected trajectories, again by contraction.
     sel = jnp.stack(onehots)  # (K, R, B, N)
     return jnp.einsum("krbn,rbntd->kbntd", sel, preds)
-
-
-def _one_hot_rbn(idx: jnp.ndarray, R: int) -> jnp.ndarray:
-    """(B, N) int -> (R, B, N) float32 one-hot along the leading axis."""
-    return (jnp.arange(R)[:, None, None] == idx[None]).astype(jnp.float32)

@@ -95,3 +95,24 @@ def test_fit_stream_multiple_prefetch_cycles(synth_dir):
     losses = [l for _, l in res.history]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Breaking out of the prefetch loop mid-stream (the trainer hitting its
+    step budget mid-epoch) must release the producer thread instead of
+    leaving it blocked on the slot semaphore forever."""
+    import threading
+    import time
+
+    from mmtraj.data.pipeline import prefetch_to_device
+
+    before = threading.active_count()
+    batches = ({"x": np.full((4, 4), i, np.float32)} for i in range(100))
+    it = prefetch_to_device(batches, size=2)
+    next(it)
+    next(it)
+    it.close()  # what an abandoned `for` loop triggers via GC
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
