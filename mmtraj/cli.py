@@ -167,6 +167,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(rp)
     rp.add_argument("--out", default="predictions.npz")
     rp.add_argument("--seed", type=int, default=0)
+    rp.add_argument("--oversample", type=int, default=1,
+                    help="sample R=oversample*K futures and keep the K most "
+                         "endpoint-diverse per agent (see eval --oversample)")
     rp.add_argument("--batch-size", type=int, default=None,
                     help="default auto-sizes to keep attention VMEM-resident")
     rp.add_argument("--auto-n-max", action="store_true",
@@ -504,13 +507,25 @@ def main(argv=None) -> int:
         cfg = _apply_overrides(ck.config, args)
         ds, n_max = _load_eval_dataset(cfg, args.auto_n_max, "predictions")
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+        if args.oversample > 1 and cfg.model.head != "gmm":
+            parser.error("--oversample requires the sampling (GMM) head")
         k, bs = cfg.train.k_samples, args.batch_size
         if bs is None:
             from mmtraj.evaluate import vmem_friendly_batch
 
-            bs = vmem_friendly_batch(k, n_max)
+            bs = vmem_friendly_batch(k * args.oversample, n_max)
+
+        @jax.jit
+        def roll(params, xy_obs, mask, key):
+            p = model.rollout_k(params, xy_obs, mask, ck.stats, key,
+                                k * args.oversample)
+            if args.oversample > 1:
+                from mmtraj.models.sampling import diverse_select
+
+                p = diverse_select(p, k)
+            return p
+
         key = jax.random.PRNGKey(args.seed)
-        roll = jax.jit(model.rollout_k, static_argnames=("k",))
         preds, masks = [], []
         for s in range(0, len(ds), bs):
             idx = np.arange(s, min(s + bs, len(ds)))
@@ -521,14 +536,15 @@ def main(argv=None) -> int:
                 mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
             key, sub = jax.random.split(key)
             p = roll(ck.params, jnp.asarray(xy[:, :, : cfg.data.obs_len]),
-                     jnp.asarray(mask), ck.stats, sub, k=k)
+                     jnp.asarray(mask), sub)
             preds.append(np.asarray(p)[:, : len(idx)])
             masks.append(mask[: len(idx)])
         preds_np = np.concatenate(preds, axis=1)  # (K, W, N, Tp, 2)
         masks_np = np.concatenate(masks, axis=0)  # (W, N)
         np.savez(args.out, predictions=preds_np, mask=masks_np,
                  obs_len=cfg.data.obs_len, pred_len=cfg.data.pred_len,
-                 scene=cfg.data.scene, k=k)
+                 scene=cfg.data.scene, k=k,
+                 **({"oversample": args.oversample} if args.oversample > 1 else {}))
         print(f"wrote {args.out}: predictions {preds_np.shape} "
               f"(K={k}, windows={masks_np.shape[0]}, scene={cfg.data.scene})")
         return 0

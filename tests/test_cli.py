@@ -135,6 +135,29 @@ def test_predict_cli_writes_npz(synth_dir, tmp_path, capsys):
     assert onp.isfinite(preds[:, mask]).all()
 
 
+def test_predict_cli_oversample(synth_dir, tmp_path, capsys):
+    out = str(tmp_path / "pred_os")
+    assert main(
+        [
+            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
+            "--steps", "5", "--batch-size", "8", "--k", "2", "--n-max", "16",
+            "--out-dir", out, "--eval-every", "0",
+        ]
+    ) == 0
+    npz = str(tmp_path / "p_os.npz")
+    assert main([
+        "predict", "--ckpt", out + "/checkpoint.npz", "--data-dir", synth_dir,
+        "--out", npz, "--k", "3", "--batch-size", "16", "--oversample", "2",
+    ]) == 0
+    import numpy as onp
+
+    z = onp.load(npz)
+    preds = z["predictions"]
+    assert preds.shape[0] == 3  # K submitted, not R=6
+    assert int(z["oversample"]) == 2
+    assert onp.isfinite(preds[:, z["mask"]]).all()
+
+
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
