@@ -108,6 +108,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="raise n_max to the densest test window so no agent "
                          "is dropped from the metric population")
 
+    lp = sub.add_parser(
+        "eval-loo",
+        help="evaluate a train --scene all checkpoint tree (one process, "
+             "per-scene mean±std table over seeds)",
+    )
+    lp.add_argument("--loo-dir", required=True,
+                    help="the --out-dir given to train --scene all; contains "
+                         "{scene}/ (single seed) or s{seed}/{scene}/ subdirs")
+    lp.add_argument("--seeds", type=int, nargs="+", default=None,
+                    help="seeds to aggregate (default: auto-detect layout)")
+    lp.add_argument("--ema", action="store_true",
+                    help="evaluate checkpoint_ema.npz instead of checkpoint.npz")
+    lp.add_argument("--seed", type=int, default=0, help="eval sampling seed")
+    lp.add_argument("--oversample", type=int, default=1)
+    lp.add_argument("--sigma-scale", type=float, default=1.0)
+    lp.add_argument("--reduction", default="per_agent",
+                    choices=("per_agent", "per_window"))
+    lp.add_argument("--rollout", default="sample", choices=("sample", "modes"))
+
     bp = sub.add_parser(
         "baseline",
         help="closed-form baseline ADE/FDE on the held-out scene (no model)",
@@ -414,6 +433,71 @@ def main(argv=None) -> int:
 
         n = convert_obsmat(args.src, args.dst)
         print(f"wrote {n} rows: {args.src} -> {args.dst}")
+        return 0
+
+    if args.cmd == "eval-loo":
+        import os
+
+        import numpy as np
+
+        from mmtraj import checkpoint as ckpt_lib
+        from mmtraj.data.collate import WindowDataset
+        from mmtraj.data.registry import load_scene_windows
+        from mmtraj.evaluate import evaluate
+        from mmtraj.models.forecaster import Forecaster
+
+        name = "checkpoint_ema.npz" if args.ema else "checkpoint.npz"
+        seeds = args.seeds
+        if seeds is None:
+            # train --scene all writes {out}/{scene} for one seed and
+            # {out}/s{seed}/{scene} for --seeds runs; detect which.
+            sdirs = sorted(
+                int(d[1:]) for d in os.listdir(args.loo_dir)
+                if d.startswith("s") and d[1:].isdigit()
+            )
+            seeds = sdirs or [None]
+        per_scene = {}
+        for scene in SCENES:
+            for seed in seeds:
+                sub = f"s{seed}/{scene}" if seed is not None else scene
+                path = os.path.join(args.loo_dir, sub, name)
+                ck = ckpt_lib.load(path)
+                cfg = ck.config
+                windows = load_scene_windows(
+                    cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len,
+                    cfg.data.pred_len, cfg.data.stride, cfg.data.min_agents,
+                )
+                ds = WindowDataset(windows, cfg.data.n_max)
+                model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+                m = evaluate(model, ck.params, ck.stats, ds,
+                             cfg.train.k_samples, seed=args.seed,
+                             reduction=args.reduction, rollout=args.rollout,
+                             sigma_scale=args.sigma_scale,
+                             oversample=args.oversample)
+                per_scene.setdefault(scene, []).append(
+                    (m["min_ade"], m["min_fde"])
+                )
+                tag = f"seed={seed} " if seed is not None else ""
+                print(f"{tag}scene={scene}: ADE={m['min_ade']:.4f} "
+                      f"FDE={m['min_fde']:.4f}", flush=True)
+        k = m["k"]
+        extras = "".join(
+            f" {key}={m[key]}" for key in ("oversample", "sigma_scale", "rollout")
+            if key in m
+        )
+        print(f"\nleave-one-out eval (best-of-{k}, {args.reduction}{extras}"
+              f"{', EMA' if args.ema else ''}):")
+        print(f"{'scene':8s} {'ADE(m)':>16s} {'FDE(m)':>16s}")
+        avg_a, avg_f = [], []
+        for scene, vals in per_scene.items():
+            a = np.array([v[0] for v in vals])
+            f = np.array([v[1] for v in vals])
+            avg_a.append(a.mean())
+            avg_f.append(f.mean())
+            print(f"{scene:8s} {a.mean():8.4f}±{a.std():6.4f} "
+                  f"{f.mean():8.4f}±{f.std():6.4f}")
+        print(f"{'AVG':8s} {np.mean(avg_a):8.4f}        "
+              f"{np.mean(avg_f):8.4f}")
         return 0
 
     if args.cmd == "baseline":

@@ -135,6 +135,26 @@ def test_predict_cli_writes_npz(synth_dir, tmp_path, capsys):
     assert onp.isfinite(preds[:, mask]).all()
 
 
+def test_eval_loo_cli(synth_dir, tmp_path, capsys):
+    """eval-loo re-evaluates a train --scene all tree (auto-detected layout)
+    and prints the per-scene mean±std table."""
+    out = str(tmp_path / "loo")
+    assert main(
+        [
+            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "all",
+            "--seeds", "0", "1", "--steps", "3", "--batch-size", "8", "--k", "2",
+            "--n-max", "16", "--out-dir", out, "--eval-every", "0",
+        ]
+    ) == 0
+    capsys.readouterr()
+    assert main(["eval-loo", "--loo-dir", out, "--oversample", "2"]) == 0
+    out_txt = capsys.readouterr().out
+    assert "leave-one-out eval (best-of-2, per_agent oversample=2" in out_txt
+    for scene in ("eth", "hotel", "univ", "zara1", "zara2", "AVG"):
+        assert scene in out_txt
+    assert out_txt.count("±") >= 10  # 5 scenes x 2 cols over 2 seeds
+
+
 def test_predict_cli_oversample(synth_dir, tmp_path, capsys):
     out = str(tmp_path / "pred_os")
     assert main(
