@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help=">0 enables EMA weights for eval + checkpoint_ema.npz")
     tp.add_argument("--dropout", type=float, default=None,
                     help="variational dropout rate on embed/GAT activations")
+    tp.add_argument("--num-mixtures", type=int, default=None,
+                    help="GMM head mixture components (default 5)")
+    tp.add_argument("--hidden-dim", type=int, default=None,
+                    help="cell/GAT hidden width (default 64)")
     tp.add_argument("--weight-decay", type=float, default=None,
                     help="AdamW decoupled weight decay")
     tp.add_argument("--augment", action="store_true",
@@ -253,6 +257,10 @@ def _apply_overrides(cfg, args):
     mk = {}
     if getattr(args, "dropout", None) is not None:
         mk["dropout"] = args.dropout
+    if getattr(args, "num_mixtures", None) is not None:
+        mk["num_mixtures"] = args.num_mixtures
+    if getattr(args, "hidden_dim", None) is not None:
+        mk["hidden_dim"] = args.hidden_dim
     return cfg.replace(
         model=dataclasses.replace(model, **mk),
         data=dataclasses.replace(data, **dk),
