@@ -81,6 +81,16 @@ def test_sharded_eval_matches_single_device(synth_dir):
     np.testing.assert_allclose(m1["min_ade"], m2["min_ade"], rtol=1e-5)
     np.testing.assert_allclose(m1["min_fde"], m2["min_fde"], rtol=1e-5)
 
+    # Sample-and-select under DP: diverse_select is per-agent and therefore
+    # shard-local — sharded must still match single-device exactly.
+    o1 = evaluate(model, params, stats, ds, k=3, batch_size=16, mesh=None,
+                  oversample=2)
+    o2 = evaluate(model, params, stats, ds, k=3, batch_size=16,
+                  mesh=make_mesh(), oversample=2)
+    np.testing.assert_allclose(o1["min_ade"], o2["min_ade"], rtol=1e-5)
+    np.testing.assert_allclose(o1["min_fde"], o2["min_fde"], rtol=1e-5)
+    assert o1["min_fde"] != m1["min_fde"]  # selection actually changed the set
+
 
 def _fresh_state(model, opt, mesh=None):
     params = model.init(jax.random.PRNGKey(0))
