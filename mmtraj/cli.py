@@ -183,6 +183,9 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--k", type=int, default=None)
     xp.add_argument("--platform", default=None,
                     help="lowering target (default: current backend)")
+    xp.add_argument("--oversample", type=int, default=1,
+                    help="bake sample-and-select into the frozen graph "
+                         "(draw R*K, return the K most diverse per agent)")
 
     rp = sub.add_parser("predict",
                         help="sample K futures for a scene's live windows -> .npz")
@@ -653,9 +656,11 @@ def main(argv=None) -> int:
         export_predictor(
             args.out, model, ck.params, ck.stats, k=k, batch=args.batch,
             n_agents=cfg.data.n_max, platform=args.platform,
+            oversample=args.oversample,
         )
+        os_tag = f", oversample={args.oversample}" if args.oversample > 1 else ""
         print(f"exported {args.ckpt} -> {args.out} "
-              f"(K={k}, batch={args.batch}, N={cfg.data.n_max})")
+              f"(K={k}, batch={args.batch}, N={cfg.data.n_max}{os_tag})")
         return 0
 
     return 1

@@ -21,13 +21,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_predictor(model, params, stats, k: int) -> Callable:
+def make_predictor(model, params, stats, k: int, oversample: int = 1) -> Callable:
     """Pure inference fn with weights/stats closed over:
-    (xy_obs (B,N,To,2) f32, mask (B,N) bool, seed ()->i32) -> (K,B,N,Tp,2)."""
+    (xy_obs (B,N,To,2) f32, mask (B,N) bool, seed ()->i32) -> (K,B,N,Tp,2).
+
+    ``oversample > 1`` bakes sample-and-select into the frozen graph: the
+    exported artifact draws R=oversample*k rollouts and returns the k most
+    endpoint-diverse per agent (measured −4% ADE / −13% FDE at R=3,
+    RESULTS.md) — the deployment default when quality beats raw throughput."""
 
     def predict(xy_obs, mask, seed):
         key = jax.random.PRNGKey(seed)
-        return model.rollout_k(params, xy_obs, mask, stats, key, k)
+        preds = model.rollout_k(params, xy_obs, mask, stats, key, k * oversample)
+        if oversample > 1:
+            from mmtraj.models.sampling import diverse_select
+
+            preds = diverse_select(preds, k)
+        return preds
 
     return predict
 
@@ -42,17 +52,19 @@ def export_predictor(
     batch: int = 64,
     n_agents: Optional[int] = None,
     platform: Optional[str] = None,
+    oversample: int = 1,
 ) -> None:
     """Serialize the frozen K-sample predictor as StableHLO.
 
     Shapes are static (TPU-native contract: fixed padded shapes); ``platform``
     defaults to the current backend ('tpu' on the chip, 'cpu' in tests).
+    ``oversample`` bakes sample-and-select in (see make_predictor).
     """
     import jax.export as je
 
     n = n_agents if n_agents is not None else 0
     assert n > 0, "n_agents is required (padded agent capacity)"
-    predict = make_predictor(model, params, stats, k)
+    predict = make_predictor(model, params, stats, k, oversample)
     args = (
         jax.ShapeDtypeStruct((batch, n, model.obs_len, 2), jnp.float32),
         jax.ShapeDtypeStruct((batch, n), jnp.bool_),

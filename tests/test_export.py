@@ -33,3 +33,28 @@ def test_export_roundtrip_matches_live_model(rng, tmp_path):
     assert loaded.shape == (K, B, N, 12, 2)
     np.testing.assert_allclose(np.asarray(loaded), np.asarray(live),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_export_with_oversample_bakes_selection(rng, tmp_path):
+    """An oversample export returns K (not R*K) trajectories, matches the
+    live sample-and-select path, and differs from the plain-K artifact."""
+    cfg = ModelConfig(num_heads=2)
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    B, N, K = 4, 8, 3
+    path = str(tmp_path / "predictor_os.stablehlo")
+    export_predictor(path, model, params, stats, k=K, batch=B, n_agents=N,
+                     platform="cpu", oversample=2)
+
+    steps = rng.normal(size=(B, N, 8, 2)).astype(np.float32) * 0.3
+    xy_obs = jnp.asarray(np.cumsum(steps, axis=2))
+    mask = jnp.asarray(rng.random((B, N)) > 0.2)
+
+    live = make_predictor(model, params, stats, K, oversample=2)(xy_obs, mask, 7)
+    loaded = load_predictor(path)(xy_obs, mask, 7)
+    assert loaded.shape == (K, B, N, 12, 2)
+    np.testing.assert_allclose(np.asarray(loaded), np.asarray(live),
+                               atol=1e-5, rtol=1e-5)
+    plain = make_predictor(model, params, stats, K)(xy_obs, mask, 7)
+    assert not np.allclose(np.asarray(loaded), np.asarray(plain))
