@@ -452,8 +452,6 @@ def main(argv=None) -> int:
         import numpy as np
 
         from mmtraj import checkpoint as ckpt_lib
-        from mmtraj.data.collate import WindowDataset
-        from mmtraj.data.registry import load_scene_windows
         from mmtraj.evaluate import evaluate
         from mmtraj.models.forecaster import Forecaster
 
@@ -469,16 +467,14 @@ def main(argv=None) -> int:
             seeds = sdirs or [None]
         per_scene = {}
         for scene in SCENES:
+            ds = None  # seeds share a fold's data config; parse it once
             for seed in seeds:
                 sub = f"s{seed}/{scene}" if seed is not None else scene
                 path = os.path.join(args.loo_dir, sub, name)
                 ck = ckpt_lib.load(path)
                 cfg = ck.config
-                windows = load_scene_windows(
-                    cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len,
-                    cfg.data.pred_len, cfg.data.stride, cfg.data.min_agents,
-                )
-                ds = WindowDataset(windows, cfg.data.n_max)
+                if ds is None:
+                    ds, _ = _load_eval_dataset(cfg, False, "the metric population")
                 model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
                 m = evaluate(model, ck.params, ck.stats, ds,
                              cfg.train.k_samples, seed=args.seed,
