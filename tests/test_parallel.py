@@ -56,13 +56,22 @@ def test_parallel_step_matches_single_device(rng):
     p2, _, l2 = step_dp(params_r, opt_r, xy_s, mask_s)
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
-    # atol headroom: XLA:CPU intra-op reduction partitioning shifts under
-    # host core contention (e.g. a concurrent pytest process), reordering
-    # float sums ~1e-5 — and Adam's update/sqrt(v) amplifies that ~10x for
-    # near-zero-variance params (observed: 1 elt/12k at 1.1e-4).  Real DP
-    # divergence is wholesale and orders beyond this bound.
-    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    # XLA:CPU intra-op reduction partitioning shifts under host core
+    # contention (e.g. a concurrent pytest process), reordering float sums
+    # ~1e-5 — and Adam's update/sqrt(v) amplifies that ~10x for isolated
+    # near-zero-variance params (observed: 1 elt/12k at 1.1e-4).  Assert the
+    # *distribution* of that noise, not a blanket atol: almost every element
+    # must sit at float-noise level, with only a handful of amplified
+    # outliers below 1e-3.  Real DP divergence is wholesale and fails both.
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
+    ])
+    assert diffs.max() < 1e-3, f"max param drift {diffs.max():.2e}"
+    n_loose = int((diffs > 2e-5).sum())
+    assert n_loose <= max(8, diffs.size // 1000), (
+        f"{n_loose}/{diffs.size} params drifted past float-noise level"
+    )
 
 
 def test_sharded_eval_matches_single_device(synth_dir):
@@ -95,6 +104,14 @@ def test_sharded_eval_matches_single_device(synth_dir):
     np.testing.assert_allclose(o1["min_ade"], o2["min_ade"], rtol=1e-5)
     np.testing.assert_allclose(o1["min_fde"], o2["min_fde"], rtol=1e-5)
     assert o1["min_fde"] != m1["min_fde"]  # selection actually changed the set
+
+    # Joint (per-window) selection is window-local too: sharded == single.
+    j1 = evaluate(model, params, stats, ds, k=3, batch_size=16, mesh=None,
+                  oversample=2, reduction="per_window")
+    j2 = evaluate(model, params, stats, ds, k=3, batch_size=16,
+                  mesh=make_mesh(), oversample=2, reduction="per_window")
+    np.testing.assert_allclose(j1["min_ade"], j2["min_ade"], rtol=1e-5)
+    np.testing.assert_allclose(j1["min_fde"], j2["min_fde"], rtol=1e-5)
 
 
 def _fresh_state(model, opt, mesh=None):
@@ -206,11 +223,14 @@ def test_sharded_eval_batch_not_divisible_by_mesh(synth_dir):
     m1 = evaluate(model, params, stats, ds, k=2, batch_size=13, mesh=None)
     m2 = evaluate(model, params, stats, ds, k=2, batch_size=13, mesh=make_mesh())
     assert m1["n_agents"] == m2["n_agents"]
-    # Identical key stream requires identical batch partitioning; the mesh
-    # path rounds 13 -> 16, so compare statistically-identical populations
-    # via counts and a loose metric check plus exact finiteness.
-    assert np.isfinite(m2["min_ade"]) and np.isfinite(m2["min_fde"])
-    assert abs(m1["min_ade"] - m2["min_ade"]) < 0.2
+    # Per-window RNG + per-window sums: the mesh path rounds 13 -> 16 with
+    # invalid padding windows that contribute exact zeros, and every window
+    # samples from its own fold_in key — so the only residual difference vs
+    # single-device is ulp-level non-RNG noise from physically partitioned
+    # kernels (XLA:CPU SIMD remainder paths).  rtol 1e-7 (was 0.2 pre-r3).
+    np.testing.assert_allclose(m1["min_ade"], m2["min_ade"], rtol=1e-7)
+    np.testing.assert_allclose(m1["min_fde"], m2["min_fde"], rtol=1e-7)
+    np.testing.assert_allclose(m1["miss_rate_2m"], m2["miss_rate_2m"], rtol=1e-7)
 
 
 def test_fit_data_parallel_smoke(synth_dir, tmp_path):

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mmtraj.models.sampling import diverse_select
+from mmtraj.models.sampling import diverse_select, diverse_select_joint
 
 
 def _preds(rng, R=12, B=2, N=3, T=4):
@@ -54,6 +54,43 @@ def test_farthest_point_picks_the_outlier():
     out = np.asarray(diverse_select(jnp.asarray(p), 2))
     assert out[0, 0, 0, -1, 0] == 0.0  # seed = sample 0
     assert out[1, 0, 0, -1, 0] == 50.0
+
+
+def test_joint_selection_preserves_joint_samples():
+    """diverse_select_joint keeps whole joint samples: for each (k, window)
+    there is ONE candidate index r that every agent's trajectory comes from."""
+    rng = np.random.default_rng(4)
+    p = _preds(rng, R=10, B=3, N=4)
+    mask = jnp.asarray(np.ones((3, 4), bool))
+    out = np.asarray(diverse_select_joint(p, mask, 5))
+    pn = np.asarray(p)
+    assert out.shape == (5, 3, 4, 4, 2)
+    for k in range(5):
+        for b in range(3):
+            # all-agent match against a single candidate index
+            match = np.isclose(pn[:, b], out[k, b]).all(axis=(1, 2, 3))
+            assert match.any(), (k, b)
+    # seed sample 0 leads, identity at K == R, over-selection rejected
+    np.testing.assert_array_equal(out[0], pn[0])
+    np.testing.assert_array_equal(
+        np.asarray(diverse_select_joint(p, mask, 10)), pn)
+    with pytest.raises(ValueError, match="cannot select"):
+        diverse_select_joint(p, mask, 11)
+
+
+def test_joint_selection_masked_agents_ignored():
+    """Padded agents must not influence which joint samples are chosen."""
+    rng = np.random.default_rng(5)
+    p = np.asarray(_preds(rng, R=6, B=1, N=3))
+    mask = np.array([[True, True, False]])
+    # Give the padded agent a huge spread on candidate 1 — it must NOT drag
+    # candidate 1 into the selection if the valid agents say otherwise.
+    p2 = p.copy()
+    p2[1, 0, 2, -1] = 1e6
+    s1 = np.asarray(diverse_select_joint(jnp.asarray(p), jnp.asarray(mask), 3))
+    s2 = np.asarray(diverse_select_joint(jnp.asarray(p2), jnp.asarray(mask), 3))
+    # Selection indices identical -> valid-agent trajectories identical.
+    np.testing.assert_array_equal(s1[:, :, :2], s2[:, :, :2])
 
 
 def test_jits_and_widens_min_pairwise_spread():
