@@ -159,6 +159,15 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--src", required=True, help="source checkpoint path")
     cp.add_argument("--dst", required=True,
                     help="destination path; suffix selects the format")
+    cp.add_argument("--keras", action="store_true",
+                    help="treat .h5 files as the legacy Keras save_weights "
+                         "layout (reference-convention layer names, "
+                         "mmtraj/interop.py) instead of mmtraj's flat h5; "
+                         "weights only — --src then needs a --config/--ckpt "
+                         "donor for stats+config via --like")
+    cp.add_argument("--like", default=None,
+                    help="with --keras --src: checkpoint supplying the "
+                         "config and norm stats the Keras weights belong to")
 
     op = sub.add_parser(
         "import-obsmat",
@@ -579,6 +588,26 @@ def main(argv=None) -> int:
     if args.cmd == "convert":
         from mmtraj import checkpoint as ckpt_lib
 
+        if args.keras:
+            from mmtraj.interop import load_keras_h5, save_keras_h5
+
+            if args.src.endswith((".h5", ".hdf5")):
+                # Keras -> mmtraj: weights live in the .h5; config+stats come
+                # from the --like donor checkpoint (Keras save_weights stores
+                # no config).
+                if not args.like:
+                    parser.error("--keras import needs --like <ckpt> for "
+                                 "config + norm stats")
+                donor = ckpt_lib.load(args.like)
+                params = load_keras_h5(args.src, donor.config.model)
+                ckpt_lib.save(args.dst, params, donor.stats, donor.config,
+                              donor.step)
+            else:
+                # mmtraj -> Keras legacy save_weights layout.
+                ck = ckpt_lib.load(args.src)
+                save_keras_h5(args.dst, ck.params, ck.config.model)
+            print(f"converted {args.src} -> {args.dst} (keras layout)")
+            return 0
         ck = ckpt_lib.load(args.src)
         ckpt_lib.save(args.dst, ck.params, ck.stats, ck.config, ck.step)
         print(f"converted {args.src} -> {args.dst} (step={ck.step})")

@@ -52,13 +52,27 @@ def cell_apply(p: Params, kind: str, x: jnp.ndarray, carry: Carry, dtype=None) -
     xg = jnp.dot(x, wx, preferred_element_type=jnp.float32) + p["b"]
     hg = jnp.dot(hcast, wh, preferred_element_type=jnp.float32)
     # Optional recurrent bias: absent from cell_init (fused into "b" there),
-    # but required for EXACT import of torch-convention checkpoints, whose GRU
-    # applies the recurrent n-gate bias inside the reset multiplication
+    # but required for EXACT import of torch- and Keras(reset_after=True)-
+    # convention checkpoints, whose GRU applies the recurrent n-gate bias
+    # inside the reset multiplication
     # (n = tanh(Wxn x + b_in + r * (Whn h + b_hn))) — see mmtraj/interop.py.
     if "bh" in p:
         hg = hg + p["bh"]
     hid = h.shape[-1]
     if kind == "gru":
+        if "wh_n" in p:
+            # Keras reset_after=False convention: the reset gate multiplies
+            # the HIDDEN STATE before the candidate matmul —
+            # n = tanh(Wxn x + b_n + (r*h) Whn).  Present only on imported
+            # params (mmtraj/interop.py); "wh" then covers z,r (H, 2H) and
+            # "wh_n" is the candidate recurrent matrix (H, H).
+            z = jax.nn.sigmoid(xg[..., :hid] + hg[..., :hid])
+            r = jax.nn.sigmoid(xg[..., hid : 2 * hid] + hg[..., hid : 2 * hid])
+            wh_n = p["wh_n"].astype(dtype) if dtype is not None else p["wh_n"]
+            hn = jnp.dot(r.astype(wh_n.dtype) * hcast, wh_n,
+                         preferred_element_type=jnp.float32)
+            n = jnp.tanh(xg[..., 2 * hid :] + hn)
+            return Carry(h=(1.0 - z) * n + z * h, c=carry.c)
         # CuDNN-style gating: n = tanh(x Wxn + b_n + r * (h Whn)).
         z = jax.nn.sigmoid(xg[..., :hid] + hg[..., :hid])
         r = jax.nn.sigmoid(xg[..., hid : 2 * hid] + hg[..., hid : 2 * hid])

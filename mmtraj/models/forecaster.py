@@ -420,9 +420,9 @@ class Forecaster:
         assert cfg.cell == "gru" and cfg.social and cfg.head == "gmm", (
             "fused decoder covers the flagship GRU+social+GMM configuration"
         )
-        assert "bh" not in params["dec"]["cell"], (
-            "fused decoder does not consume the torch-import recurrent bias "
-            "'bh' (mmtraj/interop.py); use the XLA path for imported params"
+        assert "bh" not in params["dec"]["cell"] and "wh_n" not in params["dec"]["cell"], (
+            "fused decoder does not consume the import-only cell params "
+            "'bh'/'wh_n' (mmtraj/interop.py); use the XLA path for imported params"
         )
         M = cfg.num_mixtures
         gumbel, normal = stream

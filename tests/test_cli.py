@@ -59,6 +59,16 @@ def test_convert_cli_roundtrips_across_formats(synth_dir, tmp_path, capsys):
         results.append(capsys.readouterr().out.split("ADE=")[1])
     assert results[0] == results[1] == results[2]
 
+    # Keras legacy save_weights layout: out and back preserves eval exactly.
+    kh5 = str(tmp_path / "keras_weights.h5")
+    back = str(tmp_path / "from_keras.npz")
+    assert main(["convert", "--keras", "--src", src, "--dst", kh5]) == 0
+    assert main(["convert", "--keras", "--src", kh5, "--dst", back,
+                 "--like", src]) == 0
+    capsys.readouterr()
+    assert main(["eval", "--ckpt", back, "--data-dir", synth_dir, "--k", "2"]) == 0
+    assert capsys.readouterr().out.split("ADE=")[1] == results[0]
+
 
 def test_train_all_scenes_leave_one_out(synth_dir, tmp_path, capsys):
     """--scene all runs the 5-fold protocol and prints the table + average."""

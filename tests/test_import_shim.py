@@ -125,3 +125,143 @@ def test_missing_key_is_one_line_diagnosis():
     cfg = ModelConfig(cell="gru", social=True, num_heads=2)
     with pytest.raises(KeyError, match="encoder.embedding.weight"):
         import_state_dict({}, cfg)
+
+
+# -- Keras-convention shim (SURVEY.md §5: "TF/Keras .h5 vs torch — the top
+# thing to check"; VERDICT r2 next-round #1) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def keras():
+    return pytest.importorskip("keras")
+
+
+def _keras_cell_weights(cell):
+    """Name a Keras cell's get_weights() triplet."""
+    w = cell.get_weights()
+    return {"kernel": w[0], "recurrent_kernel": w[1], "bias": w[2]}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("reset_after", [True, False])
+def test_keras_gru_cell_semantics(keras, reset_after):
+    """Import a REAL keras.layers.GRUCell's weights (both reset_after
+    conventions); mmtraj's cell must reproduce its output to f32 tolerance —
+    proving the (z, r, h) gate order, the dual-bias placement
+    (reset_after=True -> bh) and the reset-before-matmul candidate
+    (reset_after=False -> wh_n) are semantically exact."""
+    from mmtraj.interop import _cell_from_keras
+
+    keras.utils.set_random_seed(0)
+    E, H, B = 6, 10, 4
+    kcell = keras.layers.GRUCell(H, reset_after=reset_after)
+    kcell.build((B, E))
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, E)).astype(np.float32)
+    h0 = rng.normal(size=(B, H)).astype(np.float32)
+    out = kcell(keras.ops.convert_to_tensor(x), [keras.ops.convert_to_tensor(h0)])
+    want = keras.ops.convert_to_numpy(out[0])
+
+    weights = _keras_cell_weights(kcell)
+    assert weights["bias"].ndim == (2 if reset_after else 1)
+    p = jax.tree.map(jnp.asarray, _cell_from_keras(weights, "gru"))
+    assert ("bh" in p) == reset_after
+    assert ("wh_n" in p) == (not reset_after)
+    got = cell_apply(p, "gru", jnp.asarray(x),
+                     Carry(h=jnp.asarray(h0), c=jnp.zeros_like(jnp.asarray(h0))))
+    np.testing.assert_allclose(np.asarray(got.h), want, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_keras_lstm_cell_semantics(keras):
+    """Real keras.layers.LSTMCell (unit_forget_bias default) -> mmtraj LSTM:
+    the (i, f, c, o) packing and the forget-gate -1 shift must be exact."""
+    from mmtraj.interop import _cell_from_keras
+
+    keras.utils.set_random_seed(0)
+    E, H, B = 6, 10, 4
+    kcell = keras.layers.LSTMCell(H)
+    kcell.build((B, E))
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(B, E)).astype(np.float32)
+    h0 = rng.normal(size=(B, H)).astype(np.float32)
+    c0 = rng.normal(size=(B, H)).astype(np.float32)
+    out, states = kcell(
+        keras.ops.convert_to_tensor(x),
+        [keras.ops.convert_to_tensor(h0), keras.ops.convert_to_tensor(c0)],
+    )
+    want_h = keras.ops.convert_to_numpy(out)
+    want_c = keras.ops.convert_to_numpy(states[1])
+
+    p = jax.tree.map(jnp.asarray, _cell_from_keras(_keras_cell_weights(kcell), "lstm"))
+    got = cell_apply(p, "lstm", jnp.asarray(x),
+                     Carry(h=jnp.asarray(h0), c=jnp.asarray(c0)))
+    np.testing.assert_allclose(np.asarray(got.h), want_h, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.c), want_c, atol=2e-6)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_keras_h5_roundtrip_forward_parity(cell, tmp_path):
+    """mmtraj params -> legacy save_weights .h5 -> import: the full model
+    forward must be identical (the Keras twin of the fabricated-.pt test)."""
+    from mmtraj.interop import load_keras_h5, save_keras_h5
+
+    cfg = ModelConfig(cell=cell, social=True, num_heads=2, head="gmm")
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(5))
+    path = str(tmp_path / "reference_weights.h5")
+    save_keras_h5(path, params, cfg)
+    imported = load_keras_h5(path, cfg)
+
+    rng = np.random.default_rng(9)
+    xy = np.cumsum(rng.normal(size=(3, 5, 20, 2)).astype(np.float32) * 0.3, axis=2)
+    mask = np.ones((3, 5), bool)
+    mask[1, 2:] = False
+    from mmtraj.data.transforms import NormStats
+
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))
+    loss_a, _ = model.loss(params, jnp.asarray(xy), jnp.asarray(mask), stats)
+    loss_b, _ = model.loss(imported, jnp.asarray(xy), jnp.asarray(mask), stats)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+
+    roll_a = model.rollout_k(params, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+                             stats, jax.random.PRNGKey(0), 4)
+    roll_b = model.rollout_k(imported, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+                             stats, jax.random.PRNGKey(0), 4)
+    np.testing.assert_allclose(np.asarray(roll_a), np.asarray(roll_b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_keras_gru_sequence_parity_through_forecaster(keras):
+    """Multi-step recurrence parity: drive a real Keras GRU layer over a
+    sequence and mmtraj's scan-based encoder cell over the same inputs with
+    the imported weights — per-step hidden states must track exactly.
+    (reset_after=False exercises the wh_n path through lax.scan.)"""
+    from mmtraj.interop import _cell_from_keras
+
+    keras.utils.set_random_seed(1)
+    E, H, B, T = 4, 8, 3, 6
+    layer = keras.layers.GRU(H, reset_after=False, return_sequences=True)
+    layer.build((B, T, E))
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(B, T, E)).astype(np.float32)
+    want = keras.ops.convert_to_numpy(layer(keras.ops.convert_to_tensor(x)))
+
+    p = jax.tree.map(jnp.asarray, _cell_from_keras(_keras_cell_weights(layer.cell), "gru"))
+
+    def body(h, x_t):
+        new = cell_apply(p, "gru", x_t, Carry(h=h, c=jnp.zeros_like(h)))
+        return new.h, new.h
+
+    _, hs = jax.lax.scan(body, jnp.zeros((B, H)), jnp.moveaxis(jnp.asarray(x), 1, 0))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(hs), 0, 1), want, atol=5e-6)
+
+
+def test_keras_missing_layer_is_one_line_diagnosis():
+    from mmtraj.interop import import_keras_weights
+
+    cfg = ModelConfig(cell="gru", social=True, num_heads=2)
+    with pytest.raises(KeyError, match="encoder_embedding"):
+        import_keras_weights({}, cfg)
