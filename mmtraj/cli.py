@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cell/GAT hidden width (default 64)")
     tp.add_argument("--weight-decay", type=float, default=None,
                     help="AdamW decoupled weight decay")
+    tp.add_argument("--loss", default=None, choices=("nll", "variety", "hybrid"),
+                    help="training objective: teacher-forced nll (parity "
+                         "default), Social-GAN-style winner-takes-all "
+                         "'variety' (trains best-of-K directly), or "
+                         "'hybrid' = nll + variety-weight * variety")
+    tp.add_argument("--variety-n", type=int, default=None,
+                    help="WTA rollout samples per training step (default 8)")
+    tp.add_argument("--variety-weight", type=float, default=None,
+                    help="hybrid loss: weight on the WTA term (default 1.0)")
     tp.add_argument("--augment", action="store_true",
                     help="random per-window rotation augmentation (on device)")
     tp.add_argument("--augment-flip", action="store_true",
@@ -256,6 +265,9 @@ def _apply_overrides(cfg, args):
         "eval_every": getattr(args, "eval_every", None),
         "ckpt_every": getattr(args, "ckpt_every", None),
         "weight_decay": getattr(args, "weight_decay", None),
+        "loss": getattr(args, "loss", None),
+        "variety_n": getattr(args, "variety_n", None),
+        "variety_weight": getattr(args, "variety_weight", None),
     }.items() if v is not None}
     if getattr(args, "data_parallel", False):
         tk["data_parallel"] = True

@@ -81,6 +81,20 @@ class DataConfig:
 class TrainConfig:
     batch_size: int = 64
     steps: int = 2000
+    # Training objective (mmtraj/models/forecaster.py):
+    #   "nll"     — teacher-forced GMM NLL (MSE for deterministic heads);
+    #               the parity default (SURVEY.md §2.3: loss "[K] standard").
+    #   "variety" — Social-GAN-style winner-takes-all: roll out variety_n
+    #               sampled futures and backprop only the best (min mean
+    #               squared L2) sample per agent — trains the exact
+    #               best-of-K contract metric (BASELINE.json:2).
+    #   "hybrid"  — nll + variety_weight * variety: WTA shapes the samples
+    #               while NLL keeps gradient flowing to the mixture logits
+    #               (the WTA component choice is a hard, non-differentiable
+    #               selection).
+    loss: str = "nll"
+    variety_n: int = 8  # WTA rollout samples per step (cost scales with it)
+    variety_weight: float = 1.0  # hybrid: weight on the WTA term
     lr: float = 1e-3
     # "constant" or "cosine" (linear warmup over `warmup_steps`, cosine decay
     # to lr/100 at `steps`).

@@ -68,6 +68,9 @@ def make_train_step(
     augment_rotate: bool = False,
     augment_flip: bool = False,
     seed: int = 0,
+    loss_mode: str = "nll",
+    variety_n: int = 8,
+    variety_weight: float = 1.0,
 ):
     """Build the jitted (params, opt_state, xy, mask) -> (params, opt_state,
     loss) step.  With a mesh: batch sharded over 'data', state replicated —
@@ -77,22 +80,35 @@ def make_train_step(
     (params, opt_state, ema, xy, mask) -> (params, opt_state, ema, loss);
     the EMA update fuses into the same XLA program as the optimizer step.
 
-    With augmentation or ``model.cfg.dropout > 0`` the signature gains a
-    trailing int32 ``step_idx``: the per-step RNG is ``fold_in(seed-derived
-    base key, step_idx)`` INSIDE the compiled program — rotation/flip and the
-    variational-dropout masks cost zero extra host dispatches and the whole
-    step stays one XLA program."""
+    With augmentation, ``model.cfg.dropout > 0``, or a sampling loss
+    (``loss_mode != "nll"``) the signature gains a trailing int32
+    ``step_idx``: the per-step RNG is ``fold_in(seed-derived base key,
+    step_idx)`` INSIDE the compiled program — rotation/flip, the
+    variational-dropout masks, and the WTA rollout draws cost zero extra host
+    dispatches and the whole step stays one XLA program.
+
+    ``loss_mode`` selects the objective (TrainConfig.loss): "nll"
+    (teacher-forced, the parity default), "variety" (winner-takes-all
+    min-over-``variety_n``-rollouts — trains the best-of-K contract metric
+    directly), or "hybrid" (nll + ``variety_weight`` * variety)."""
+    if loss_mode not in ("nll", "variety", "hybrid"):
+        raise ValueError(f"unknown loss mode {loss_mode!r}")
     mean = jnp.asarray(stats.mean)
     std = jnp.asarray(stats.std)
     use_dropout = model.cfg.dropout > 0.0
-    needs_rng = augment_rotate or augment_flip or use_dropout
+    use_variety = loss_mode != "nll"
+    needs_rng = augment_rotate or augment_flip or use_dropout or use_variety
     base_key = jax.random.PRNGKey(seed ^ 0x5EED) if needs_rng else None
 
     def grad_and_update(params, opt_state, xy, mask, step_idx):
         s = NormStats(mean, std)
-        dkey = None
+        dkey = vkey = None
         if needs_rng:
-            k_aug, k_drop = jax.random.split(jax.random.fold_in(base_key, step_idx))
+            step_key = jax.random.fold_in(base_key, step_idx)
+            if use_variety:  # 3-way split only when the extra stream exists:
+                k_aug, k_drop, vkey = jax.random.split(step_key, 3)
+            else:  # the nll stream stays identical to earlier rounds
+                k_aug, k_drop = jax.random.split(step_key)
             if augment_rotate or augment_flip:
                 from mmtraj.data.transforms import augment_windows
 
@@ -100,9 +116,19 @@ def make_train_step(
                     xy, mask, k_aug, rotate=augment_rotate, flip=augment_flip
                 )
             dkey = k_drop if use_dropout else None
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: model.loss(p, xy, mask, s, dkey), has_aux=True
-        )(params)
+
+        def objective(p):
+            if loss_mode == "nll":
+                return model.loss(p, xy, mask, s, dkey)
+            lv = model.loss_variety(p, xy, mask, s, vkey, variety_n,
+                                    drop_key=dkey)
+            if loss_mode == "hybrid":
+                ln, _ = model.loss(p, xy, mask, s, dkey)
+                total = ln + variety_weight * lv
+                return total, {"loss": total}
+            return lv, {"loss": lv}
+
+        (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -205,13 +231,17 @@ def fit(
     if mesh is not None and ema_params is not None:
         ema_params = jax.device_put(ema_params, replicated(mesh))
     needs_rng = (
-        cfg.train.augment_rotate or cfg.train.augment_flip or cfg.model.dropout > 0.0
+        cfg.train.augment_rotate or cfg.train.augment_flip
+        or cfg.model.dropout > 0.0 or cfg.train.loss != "nll"
     )
     step_fn = make_train_step(
         model, optimizer, stats, mesh, ema_decay,
         augment_rotate=cfg.train.augment_rotate,
         augment_flip=cfg.train.augment_flip,
         seed=cfg.train.seed,
+        loss_mode=cfg.train.loss,
+        variety_n=cfg.train.variety_n,
+        variety_weight=cfg.train.variety_weight,
     )
 
     logger = logger or MetricsLogger(cfg.train.out_dir)

@@ -246,3 +246,72 @@ def test_bfloat16_compute_path(rng):
     loss, _ = model.loss(params, xy, mask, _stats())
     assert loss.dtype == jnp.float32  # loss stays f32 (SURVEY.md §7 part 3)
     assert np.isfinite(float(loss))
+
+
+def test_loss_variety_formula_pinned(rng):
+    """loss_variety == masked mean over agents of min-over-samples rollout
+    MSE, recomputed from the same rollout_k draws."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    key = jax.random.PRNGKey(4)
+    lv = float(model.loss_variety(params, xy, mask, _stats(), key, 6))
+
+    preds = model.rollout_k(params, xy[:, :, :OBS], mask, _stats(), key, 6)
+    err = np.asarray(((preds - xy[None, :, :, OBS:]) ** 2).sum(-1).mean(-1))
+    best = err.min(axis=0)
+    m = np.asarray(mask, np.float32)
+    want = float((best * m).sum() / m.sum())
+    np.testing.assert_allclose(lv, want, rtol=1e-6)
+    assert np.isfinite(lv) and lv > 0
+
+
+def test_loss_variety_grads_flow(rng):
+    """WTA gradients reach every parameter group (through the sampled
+    reparameterized rollout and the decoder recurrence)."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(1))
+    xy, mask = _batch(rng)
+    grads = jax.grad(
+        lambda p: model.loss_variety(p, xy, mask, _stats(), jax.random.PRNGKey(2), 4)
+    )(params)
+    norms = {
+        jax.tree_util.keystr(path): float(jnp.abs(g).max())
+        for path, g in jax.tree.leaves_with_path(grads)
+    }
+    assert all(np.isfinite(v) for v in norms.values())
+    # mu/sigma + decoder/encoder weights must receive gradient; the mixture
+    # LOGIT rows of the head get none (hard component choice) - that's the
+    # documented reason "hybrid" exists, not a bug.
+    nonzero = [k for k, v in norms.items() if v > 0]
+    assert any("'enc'" in k for k in nonzero)
+    assert any("'dec'" in k for k in nonzero)
+    assert any("'head'" in k for k in nonzero)
+
+
+def test_loss_variety_deterministic_head_equals_any_n(rng):
+    """A deterministic head ignores the sample stream: min over n identical
+    rollouts == the single-rollout MSE for every n."""
+    cfg = ModelConfig(cell="gru", social=True, head="deterministic", num_heads=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    l1 = float(model.loss_variety(params, xy, mask, _stats(), jax.random.PRNGKey(0), 1))
+    l3 = float(model.loss_variety(params, xy, mask, _stats(), jax.random.PRNGKey(9), 3))
+    np.testing.assert_allclose(l1, l3, rtol=1e-6)
+
+
+def test_loss_variety_masked_agents_ignored(rng):
+    """Perturbing a padded agent's ground truth must not change the loss."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    xy2 = np.asarray(xy).copy()
+    xy2[:, -1, OBS:] += 1e3  # mask[:, -1] is False in _batch
+    key = jax.random.PRNGKey(5)
+    a = float(model.loss_variety(params, xy, mask, _stats(), key, 4))
+    b = float(model.loss_variety(params, jnp.asarray(xy2), mask, _stats(), key, 4))
+    assert a == b

@@ -230,3 +230,55 @@ def test_fit_is_seed_deterministic(synth_dir, tmp_path):
     r2 = fit(_quick_cfg("2", synth_dir, tmp_path / "b", steps=15))
     for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("loss_mode", ["variety", "hybrid"])
+def test_fit_variety_loss_descends(loss_mode, synth_dir, tmp_path):
+    """--loss variety/hybrid trains end-to-end and descends (the WTA term
+    trains the best-of-K contract metric directly, VERDICT r2 #2)."""
+    import dataclasses
+
+    cfg = _quick_cfg("3", synth_dir, tmp_path, steps=60)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, loss=loss_mode, variety_n=4),
+    )
+    result = fit(cfg)
+    first, last = result.history[0][1], result.history[-1][1]
+    assert np.isfinite(last)
+    assert last < first, f"{loss_mode} loss did not descend: {first} -> {last}"
+
+
+def test_variety_step_deterministic_and_distinct(synth_dir):
+    """The WTA step is RNG-threaded: same step_idx -> identical loss; the
+    objective actually differs from nll on the same batch."""
+    import jax.numpy as jnp
+
+    from mmtraj.config import ModelConfig, get_config
+    from mmtraj.data.transforms import NormStats
+    from mmtraj.models.forecaster import Forecaster
+    from mmtraj.train import make_optimizer, make_train_step
+
+    rng = np.random.default_rng(0)
+    model = Forecaster(ModelConfig(num_heads=1), 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
+    opt = make_optimizer(get_config("3"))
+    xy = jnp.asarray(rng.normal(size=(4, 4, 20, 2)).astype(np.float32))
+    mask = jnp.asarray(np.ones((4, 4), bool))
+
+    losses = []
+    for _ in range(2):
+        p = model.init(jax.random.PRNGKey(0))  # fresh: the step donates it
+        step = make_train_step(model, opt, stats, loss_mode="variety",
+                               variety_n=3, seed=7)
+        _, _, loss = step(p, opt.init(p), xy, mask, jnp.int32(5))
+        losses.append(float(loss))
+    assert losses[0] == losses[1]
+
+    p = model.init(jax.random.PRNGKey(0))
+    step_nll = make_train_step(model, opt, stats, seed=7)
+    _, _, l_nll = step_nll(p, opt.init(p), xy, mask)
+    assert losses[0] != float(l_nll)
+
+    with pytest.raises(ValueError, match="loss mode"):
+        make_train_step(model, opt, stats, loss_mode="wta")
