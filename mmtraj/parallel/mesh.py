@@ -29,20 +29,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def init_distributed(coordinator: Optional[str] = None) -> None:
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Multi-host bring-up: call before make_mesh() on each host.
 
     Single-host runs never need this.  On a multi-host slice,
     `jax.distributed.initialize` discovers peers (args auto-detected on Cloud
-    TPU; pass coordinator 'host:port' elsewhere), after which jax.devices()
-    spans the slice and the same 1-D mesh/sharding code scales over ICI+DCN
-    (SURVEY.md §2.7 — the reference has no distributed path to match)."""
+    TPU; pass coordinator 'host:port' + num_processes/process_id elsewhere —
+    e.g. the 2-process CPU smoke test, tests/test_multihost.py), after which
+    jax.devices() spans the slice and the same 1-D mesh/sharding code scales
+    over ICI+DCN (SURVEY.md §2.7 — the reference has no distributed path to
+    match)."""
     import jax.distributed
 
-    if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
-    else:
-        jax.distributed.initialize()
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, n: Optional[int] = None) -> Mesh:

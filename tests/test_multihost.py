@@ -1,0 +1,119 @@
+"""Multi-host smoke evidence (SURVEY.md §2.7; VERDICT r2 #7).
+
+The claim "the same mesh/sharding code extends over DCN unchanged" is
+exercised for real: two OS processes bring up `jax.distributed` over a
+localhost coordinator (CPU backend, 2 virtual devices each), build the
+SAME 1-D mesh `mmtraj.parallel.mesh.make_mesh()` spanning all 4 devices,
+and run one full data-parallel training step with the batch sharded
+across the process boundary.  Both processes must report the identical
+loss, and it must match the single-process value for the same batch —
+the gradient all-reduce actually crossed processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; repo = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, repo)
+import numpy as np
+from mmtraj.config import ModelConfig, get_config
+from mmtraj.data.transforms import NormStats
+from mmtraj.models.forecaster import Forecaster
+from mmtraj.parallel.mesh import (batch_sharding, init_distributed, make_mesh,
+                                  replicated)
+from mmtraj.train import make_optimizer, make_train_step
+
+init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+mesh = make_mesh()
+rep, shd = replicated(mesh), batch_sharding(mesh)
+
+model = Forecaster(ModelConfig(num_heads=1), 8, 12)
+params = model.init(jax.random.PRNGKey(0))  # deterministic: same on both
+opt = make_optimizer(get_config("3"))
+opt_state = opt.init(params)
+
+def repl(tree):
+    return jax.tree.map(
+        lambda a: jax.make_array_from_callback(a.shape, rep, lambda i: a[i]),
+        tree,
+    )
+
+params, opt_state = repl(params), repl(opt_state)
+rng = np.random.default_rng(0)
+xy = rng.normal(size=(8, 4, 20, 2)).astype(np.float32)
+mask = np.asarray(rng.random((8, 4)) > 0.2)
+gxy = jax.make_array_from_process_local_data(shd, xy[4*pid:4*pid+4], xy.shape)
+gmask = jax.make_array_from_process_local_data(shd, mask[4*pid:4*pid+4], mask.shape)
+
+stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
+step = make_train_step(model, opt, stats, mesh=mesh)
+_, _, loss = step(params, opt_state, gxy, gmask)
+print(f"RESULT {pid} {float(loss):.12f}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_train_step_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port, repo],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, val = line.split()
+                losses[int(pid)] = float(val)
+    assert set(losses) == {0, 1}, f"workers failed:\n{outs[0]}\n{outs[1]}"
+    assert losses[0] == losses[1]
+
+    # Single-process reference on the identical batch (in-process, 8-device
+    # virtual mesh from conftest — sharding differs, math must not).
+    import jax
+    import jax.numpy as jnp
+
+    from mmtraj.config import ModelConfig, get_config
+    from mmtraj.data.transforms import NormStats
+    from mmtraj.models.forecaster import Forecaster
+    from mmtraj.train import make_optimizer, make_train_step
+
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(rng.normal(size=(8, 4, 20, 2)).astype(np.float32))
+    mask = jnp.asarray(rng.random((8, 4)) > 0.2)
+    model = Forecaster(ModelConfig(num_heads=1), 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(get_config("3"))
+    _, _, loss = make_train_step(model, opt, NormStats(
+        np.zeros(2, np.float32), np.ones(2, np.float32)
+    ))(params, opt.init(params), xy, mask)
+    np.testing.assert_allclose(losses[0], float(loss), rtol=1e-6)
