@@ -50,6 +50,7 @@ class TrainBenchResult:
     batch_size: int
     dtype: str
     remat: bool
+    remat_policy: str
     steps_per_sec: float
     windows_per_sec: float
     flops_per_step: Optional[float]
@@ -78,12 +79,14 @@ def bench_train_step(
     warmup: int = 3,
     profile_dir: Optional[str] = None,
     unroll: int = 1,
+    remat_policy: str = "full",
 ) -> TrainBenchResult:
     """Time the config-4 (flagship) jitted train step at the given knobs."""
     cfg = config4()
     cfg = cfg.replace(
         model=dataclasses.replace(
-            cfg.model, dtype=dtype, remat=remat, scan_unroll=unroll
+            cfg.model, dtype=dtype, remat=remat, scan_unroll=unroll,
+            remat_policy=remat_policy,
         ),
         train=dataclasses.replace(cfg.train, batch_size=batch_size),
     )
@@ -131,6 +134,7 @@ def bench_train_step(
         batch_size=batch_size,
         dtype=dtype,
         remat=remat,
+        remat_policy=remat_policy if remat else "-",
         steps_per_sec=sps,
         windows_per_sec=sps * batch_size,
         flops_per_step=flops,
@@ -144,6 +148,7 @@ def _fmt(r: TrainBenchResult) -> str:
     mfu = f"{100 * r.mfu:5.1f}%" if r.mfu is not None else "  n/a"
     return (
         f"B={r.batch_size:<5d} {r.dtype:<9s} remat={str(r.remat):<5s} "
+        f"policy={r.remat_policy:<13s} "
         f"{r.steps_per_sec:7.1f} steps/s  {r.windows_per_sec:9,.0f} windows/s  "
         f"{fl}/step  MFU {mfu}  (compile {r.compile_s:.1f}s)"
     )
@@ -154,6 +159,9 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=("full", "dots", "dots_no_batch"),
+                    help="jax.checkpoint policy for the scan bodies")
     ap.add_argument("--unroll", type=int, default=1,
                     help="lax.scan unroll factor for the model's time loops")
     ap.add_argument("--iters", type=int, default=30)
@@ -163,9 +171,33 @@ def main(argv=None) -> None:
         action="store_true",
         help="batch x dtype x remat sweep (B=128..1024) instead of a single point",
     )
+    ap.add_argument(
+        "--policy-sweep",
+        action="store_true",
+        help="B x remat_policy sweep (remat=True, both dtypes) targeting the "
+             "documented B>=256 recompute-traffic ceiling (ARCHITECTURE.md "
+             "pt 9; VERDICT r2 #4)",
+    )
     args = ap.parse_args(argv)
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}  n_max=64 obs=8 pred=12 (config-4 model)")
+    if args.policy_sweep:
+        for batch in (128, 256, 512, 1024):
+            for dtype in ("bfloat16", "float32"):
+                for policy in ("full", "dots", "dots_no_batch"):
+                    try:
+                        r = bench_train_step(batch, dtype, True,
+                                             iters=args.iters,
+                                             unroll=args.unroll,
+                                             remat_policy=policy)
+                        print(_fmt(r), flush=True)
+                    except Exception as e:
+                        print(
+                            f"B={batch:<5d} {dtype:<9s} policy={policy:<13s} "
+                            f"FAILED: {type(e).__name__}: {str(e)[:120]}",
+                            flush=True,
+                        )
+        return
     if args.sweep:
         for batch in (128, 256, 512, 1024):
             for dtype in ("float32", "bfloat16"):
@@ -184,6 +216,7 @@ def main(argv=None) -> None:
     r = bench_train_step(
         args.batch, args.dtype, not args.no_remat,
         iters=args.iters, profile_dir=args.profile, unroll=args.unroll,
+        remat_policy=args.remat_policy,
     )
     print(_fmt(r))
     if args.profile:

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="GMM head mixture components (default 5)")
     tp.add_argument("--hidden-dim", type=int, default=None,
                     help="cell/GAT hidden width (default 64)")
+    tp.add_argument("--remat-policy", default=None,
+                    choices=("full", "dots", "dots_no_batch"),
+                    help="jax.checkpoint policy for remat presets (what the "
+                         "backward pass recomputes vs reads from HBM)")
     tp.add_argument("--weight-decay", type=float, default=None,
                     help="AdamW decoupled weight decay")
     tp.add_argument("--loss", default=None, choices=("nll", "variety", "hybrid"),
@@ -187,6 +191,24 @@ def build_parser() -> argparse.ArgumentParser:
     op.add_argument("--dst", required=True,
                     help="output path (e.g. data/real/eth.txt)")
 
+    vs = sub.add_parser(
+        "import-vsp",
+        help="convert a raw UCY .vsp spline annotation (univ/zara) to "
+             "canonical annotation txt via a pixel->meter homography",
+    )
+    vs.add_argument("--src", required=True, help="crowds .vsp file")
+    vs.add_argument("--dst", required=True,
+                    help="output path (e.g. data/real/zara1.txt)")
+    vs.add_argument("--homography", default=None,
+                    help="3x3 pixel->meter homography file (plain text, the "
+                         "form the UCY H matrices ship in)")
+    vs.add_argument("--scale", type=float, default=None,
+                    help="meters per pixel (axis-aligned fallback when no "
+                         "homography is available)")
+    vs.add_argument("--frame-step", type=int, default=10,
+                    help="annotation frame grid (default every 10th video "
+                         "frame = 0.4 s)")
+
     pp = sub.add_parser("profile-stats",
                         help="summarize a jax.profiler trace (device-time op stats)")
     pp.add_argument("--trace-dir", required=True,
@@ -285,6 +307,8 @@ def _apply_overrides(cfg, args):
         mk["num_mixtures"] = args.num_mixtures
     if getattr(args, "hidden_dim", None) is not None:
         mk["hidden_dim"] = args.hidden_dim
+    if getattr(args, "remat_policy", None) is not None:
+        mk["remat_policy"] = args.remat_policy
     return cfg.replace(
         model=dataclasses.replace(model, **mk),
         data=dataclasses.replace(data, **dk),
@@ -464,6 +488,19 @@ def main(argv=None) -> int:
         from mmtraj.data.obsmat import convert_obsmat
 
         n = convert_obsmat(args.src, args.dst)
+        print(f"wrote {n} rows: {args.src} -> {args.dst}")
+        return 0
+
+    if args.cmd == "import-vsp":
+        import numpy as np
+
+        from mmtraj.data.vsp import convert_vsp
+
+        if (args.homography is None) == (args.scale is None):
+            parser.error("pass exactly one of --homography or --scale")
+        H = np.loadtxt(args.homography) if args.homography else None
+        n = convert_vsp(args.src, args.dst, homography=H, scale=args.scale,
+                        frame_step=args.frame_step)
         print(f"wrote {n} rows: {args.src} -> {args.dst}")
         return 0
 

@@ -59,6 +59,15 @@ class ModelConfig:
     # trading recompute FLOPs for HBM traffic/footprint.  Enables much larger
     # batches; measure before enabling for speed (see ARCHITECTURE.md).
     remat: bool = False
+    # jax.checkpoint policy when remat=True (ARCHITECTURE.md pt 9 showed the
+    # B>=256 windows/s ceiling is recompute-traffic-shaped, so the policy is
+    # the knob):
+    #   "full"          — save nothing, recompute everything (the r1/r2
+    #                     behavior; smallest memory, most recompute);
+    #   "dots"          — save every matmul output, recompute only the cheap
+    #                     elementwise chain (sigmoid/tanh/softmax);
+    #   "dots_no_batch" — save only weight-stationary (non-batch) matmuls.
+    remat_policy: str = "full"
     # lax.scan unroll factor for the 8/12-step encoder/decoder time loops.
     # The step is latency-bound (~2% MFU, ARCHITECTURE.md pt 9), so shaving
     # while-loop iteration overhead is the relevant axis; measured table in

@@ -37,6 +37,25 @@ def _compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
 
 
+def _maybe_remat(cfg: ModelConfig, body):
+    """Wrap a scan body in jax.checkpoint per cfg.remat/remat_policy.
+
+    Policies change scheduling (what the backward pass recomputes vs reads
+    from HBM), never math — pinned by tests/test_models.py::
+    test_remat_matches_no_remat for every policy."""
+    if not cfg.remat:
+        return body
+    if cfg.remat_policy == "full":
+        return jax.checkpoint(body)
+    policy = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }.get(cfg.remat_policy)
+    if policy is None:
+        raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+    return jax.checkpoint(body, policy=policy)
+
+
 def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     E, H = cfg.embed_dim, cfg.hidden_dim
     ks = jax.random.split(key, 10)
@@ -146,8 +165,7 @@ class Forecaster:
             dxy_t, xy_t = x
             return _step(params["enc"], cfg, carry, dxy_t, xy_t, mask, drop), None
 
-        if cfg.remat:
-            body = jax.checkpoint(body)
+        body = _maybe_remat(cfg, body)
         carry, _ = jax.lax.scan(body, carry0, xs, unroll=cfg.scan_unroll)
 
         h = jnp.tanh(dense(params["bridge_h"], carry.h))
@@ -186,8 +204,7 @@ class Forecaster:
             carry = _step(params["dec"], cfg, carry, dxy_t, xy_t, mask, drop)
             return carry, out
 
-        if cfg.remat:
-            body = jax.checkpoint(body)
+        body = _maybe_remat(cfg, body)
         _, outs = jax.lax.scan(body, carry, xs, unroll=cfg.scan_unroll)
         # (Tp, B, N, ...) -> (B, N, Tp, ...)
         return jax.tree.map(lambda a: jnp.moveaxis(a, 0, 2), outs)

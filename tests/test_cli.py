@@ -196,3 +196,26 @@ def test_cli_requires_subcommand():
 def test_cli_rejects_unknown_scene():
     with pytest.raises(SystemExit):
         main(["train", "--scene", "nowhere"])
+
+
+def test_import_vsp_cli(tmp_path, capsys):
+    import numpy as np
+
+    src = tmp_path / "crowds_zara.vsp"
+    src.write_text(
+        "1 - the number of splines\n"
+        "2 - Num of control points\n"
+        "0.0 0.0 0 0.0\n"
+        "100.0 0.0 100 0.0\n"
+    )
+    H = tmp_path / "H.txt"
+    np.savetxt(H, np.diag([0.02, 0.02, 1.0]))
+    dst = tmp_path / "zara.txt"
+    assert main(["import-vsp", "--src", str(src), "--dst", str(dst),
+                 "--homography", str(H)]) == 0
+    assert "wrote 11 rows" in capsys.readouterr().out
+    rows = np.loadtxt(dst)
+    assert rows.shape == (11, 4)
+
+    with pytest.raises(SystemExit):
+        main(["import-vsp", "--src", str(src), "--dst", str(dst)])

@@ -220,22 +220,28 @@ def test_loss_jits_and_is_reproducible(rng):
 
 def test_remat_matches_no_remat(rng):
     """jax.checkpoint on the scan bodies changes scheduling, not math: loss
-    and gradients must match the non-remat model."""
-    import dataclasses
-
+    and gradients must match the non-remat model under EVERY policy."""
     xy, mask = _batch(rng)
-    outs = []
-    for remat in (False, True):
-        cfg = ModelConfig(remat=remat)
+    outs = {}
+    for remat, policy in ((False, "full"), (True, "full"), (True, "dots"),
+                          (True, "dots_no_batch")):
+        cfg = ModelConfig(remat=remat, remat_policy=policy)
         model = Forecaster(cfg, OBS, PRED)
         params = model.init(jax.random.PRNGKey(0))
         loss, grads = jax.value_and_grad(
             lambda p: model.loss(p, xy, mask, _stats())[0]
         )(params)
-        outs.append((float(loss), jax.tree.leaves(grads)))
-    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
-    for a, b in zip(outs[0][1], outs[1][1]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+        outs[(remat, policy)] = (float(loss), jax.tree.leaves(grads))
+    base_loss, base_grads = outs[(False, "full")]
+    for key, (loss, grads) in outs.items():
+        np.testing.assert_allclose(base_loss, loss, rtol=1e-6, err_msg=str(key))
+        for a, b in zip(base_grads, grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4, err_msg=str(key))
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        model = Forecaster(ModelConfig(remat=True, remat_policy="nope"), OBS, PRED)
+        model.loss(model.init(jax.random.PRNGKey(0)), xy, mask, _stats())
 
 
 def test_bfloat16_compute_path(rng):

@@ -22,3 +22,19 @@ def test_bench_bf16_and_no_remat_compile():
     r = bench_train_step(batch_size=2, n_max=16, iters=1, warmup=0,
                          dtype="bfloat16", remat=False)
     assert r.steps_per_sec > 0
+
+
+def test_bench_remat_policy_variants_compile():
+    for policy in ("dots", "dots_no_batch"):
+        r = bench_train_step(batch_size=2, n_max=16, iters=1, warmup=0,
+                             remat_policy=policy)
+        assert r.steps_per_sec > 0 and r.remat_policy == policy
+
+
+def test_stream_bench_runs_and_reports_both_modes():
+    from mmtraj.benchmarks.stream_bench import bench_ingest
+
+    res = bench_ingest(n_windows=120, batch_size=8, steps=4, n_max=12,
+                       dtype="float32")
+    assert set(res) == {"resident", "stream"}
+    assert all(v > 0 for v in res.values())
