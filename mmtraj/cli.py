@@ -689,10 +689,14 @@ def main(argv=None) -> int:
             bs = vmem_friendly_batch(k * args.oversample, n_max,
                                      bytes_per_elem=_model_bytes_per_elem(model))
 
+        # Per-window keys (fold_in of the global window index), same scheme
+        # as evaluate(): the written rollouts are a pure function of
+        # (seed, window), invariant to --batch-size.
         @jax.jit
-        def roll(params, xy_obs, mask, key):
-            p = model.rollout_k(params, xy_obs, mask, ck.stats, key,
-                                k * args.oversample)
+        def roll(params, xy_obs, mask, win_idx, key):
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(win_idx)
+            p = model.rollout_k(params, xy_obs, mask, ck.stats, None,
+                                k * args.oversample, keys=keys)
             if args.oversample > 1:
                 from mmtraj.models.sampling import diverse_select
 
@@ -708,9 +712,9 @@ def main(argv=None) -> int:
                 pad = bs - len(idx)
                 xy = np.concatenate([xy, np.zeros((pad,) + xy.shape[1:], xy.dtype)])
                 mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
-            key, sub = jax.random.split(key)
+            win_idx = jnp.arange(s, s + bs, dtype=jnp.int32)
             p = roll(ck.params, jnp.asarray(xy[:, :, : cfg.data.obs_len]),
-                     jnp.asarray(mask), sub)
+                     jnp.asarray(mask), win_idx, key)
             preds.append(np.asarray(p)[:, : len(idx)])
             masks.append(mask[: len(idx)])
         preds_np = np.concatenate(preds, axis=1)  # (K, W, N, Tp, 2)

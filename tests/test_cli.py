@@ -219,3 +219,27 @@ def test_import_vsp_cli(tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["import-vsp", "--src", str(src), "--dst", str(dst)])
+
+
+def test_predict_cli_batch_size_invariant(synth_dir, tmp_path):
+    """predict output is a pure function of (seed, window): identical npz
+    content at different --batch-size (per-window RNG, as in evaluate)."""
+    import numpy as onp
+
+    out = str(tmp_path / "pred_inv")
+    assert main(
+        [
+            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
+            "--steps", "3", "--batch-size", "8", "--k", "2", "--n-max", "16",
+            "--out-dir", out, "--eval-every", "0",
+        ]
+    ) == 0
+    outs = []
+    for bs in ("16", "7"):
+        npz = str(tmp_path / f"pi_{bs}.npz")
+        assert main([
+            "predict", "--ckpt", out + "/checkpoint.npz", "--data-dir", synth_dir,
+            "--out", npz, "--k", "2", "--batch-size", bs,
+        ]) == 0
+        outs.append(onp.load(npz)["predictions"])
+    onp.testing.assert_array_equal(outs[0], outs[1])
