@@ -52,7 +52,7 @@ def _fabricate_windows(n_windows: int, n_max: int, t_total: int = 20,
 
 def bench_ingest(n_windows: int = 20000, batch_size: int = 256,
                  steps: int = 200, n_max: int = 64, dtype: str = "bfloat16",
-                 seed: int = 0):
+                 seed: int = 0, prefetch: int = 2):
     """Returns {mode: steps_per_sec} for the identical train-step program."""
     cfg = config4()
     cfg = cfg.replace(
@@ -89,7 +89,7 @@ def bench_ingest(n_windows: int = 20000, batch_size: int = 256,
                 def host():
                     while True:
                         yield from ds.epoch_batches(batch_size, rng)
-                return prefetch_to_device(host(), size=2)
+                return prefetch_to_device(host(), size=prefetch)
 
         it = iter(batches()) if mode == "resident" else batches()
         # Warmup: compile + fill the prefetch queue.
@@ -108,7 +108,8 @@ def bench_ingest(n_windows: int = 20000, batch_size: int = 256,
         del it
         sps = steps / dt
         results[mode] = sps
-        print(f"{mode:9s} B={batch_size} n_max={n_max} {dtype}: "
+        depth = f" prefetch={prefetch}" if mode == "stream" else ""
+        print(f"{mode:9s}{depth} B={batch_size} n_max={n_max} {dtype}: "
               f"{sps:7.2f} steps/s  ({sps * batch_size:9,.0f} windows/s)",
               flush=True)
     ratio = results["stream"] / results["resident"]
@@ -124,10 +125,13 @@ def main(argv=None) -> None:
     ap.add_argument("--n-max", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="prefetch queue depth for the stream path")
     args = ap.parse_args(argv)
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}")
-    bench_ingest(args.windows, args.batch, args.steps, args.n_max, args.dtype)
+    bench_ingest(args.windows, args.batch, args.steps, args.n_max,
+                 args.dtype, prefetch=args.prefetch)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,13 @@ class ModelConfig:
     rho_max: float = 0.99
     dtype: str = "float32"  # "bfloat16" runs matmuls in bf16 (loss stays f32)
     use_pallas: bool = False  # opt-in fused Pallas GAT kernel (XLA canonical)
+    # Attention-chain backend for the GAT score+softmax+aggregate
+    # (mmtraj/ops/fused_attend.py): "auto" (default) uses the Pallas kernel
+    # on TPU when the graph is lane-filling (N >= 128) where it measured
+    # 1.4-3.5x faster than the XLA chain, and the XLA chain otherwise
+    # (N=64 flagship shapes, where XLA wins — ARCHITECTURE.md pt 12);
+    # "xla"/"pallas" pin a backend.
+    attend_kernel: str = "auto"
     # Opt-in fully-fused Pallas rollout decoder (whole 12-step loop in one
     # kernel, mmtraj/ops/fused_decoder.py).  GRU+social+GMM only; consumes the
     # identical pre-drawn random stream as the XLA path, so given the same key
@@ -192,7 +199,16 @@ def config4() -> Config:
 
 def config5() -> Config:
     """BASELINE.json:11 — large-batch multi-scene training: vmapped padded
-    social graphs + streaming loader, data-parallel over a v4-8/v5e-8 mesh."""
+    social graphs + streaming loader, data-parallel over a v4-8/v5e-8 mesh.
+
+    The ingest stays HBM-resident (`stream=False`) deliberately: the
+    streaming loader exists and is tested (`--stream`,
+    mmtraj/data/pipeline.py), but measured on v5e it sustains only
+    ~0.21-0.24x the resident step rate at this batch (the per-batch
+    host->HBM transfer latency cannot hide behind a ~10 ms step; depth
+    sweep + numbers in RESULTS.md "Streaming ingest at scale").  ETH/UCY-
+    scale window sets are a few hundred MB at most, so residency is free;
+    flip `--stream` only when the dataset genuinely outgrows HBM."""
     return Config(
         model=ModelConfig(cell="gru", social=True, head="gmm", num_heads=4, remat=True),
         data=DataConfig(scene="univ", n_max=64),

@@ -99,7 +99,8 @@ def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask,
     if cfg.social:
         adj = proximity_adjacency(xy_abs, mask, cfg.adjacency_radius)
         g = gat_apply(
-            pp["gat"], carry.h, adj, mask, cfg.num_heads, dt, use_pallas=cfg.use_pallas
+            pp["gat"], carry.h, adj, mask, cfg.num_heads, dt,
+            use_pallas=cfg.use_pallas, attend_kernel=cfg.attend_kernel,
         )
         if drop is not None:
             g = g * drop["gat"]

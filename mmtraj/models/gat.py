@@ -32,6 +32,16 @@ def gat_init(key, din: int, dout: int, num_heads: int) -> Params:
     }
 
 
+def _attend_group(n: int, num_heads: int, hd: int) -> int:
+    """Graphs per Pallas attend program, sized so the per-program VMEM
+    working set (a_cat (G,N,H*N) f32 dominates, plus attend + block-diag v)
+    stays under ~8 MiB — the largest budget that compiled across the
+    measured shapes (G=8 at N=256 fails; G=4 runs)."""
+    per_g = n * num_heads * n * 4 + n * n * 4 + num_heads * n * hd * 4
+    g = max(1, (8 * 2**20) // per_g)
+    return min(8, 1 << (g.bit_length() - 1))  # floor to a power of two
+
+
 def gat_apply(
     p: Params,
     h: jnp.ndarray,
@@ -40,6 +50,7 @@ def gat_apply(
     num_heads: int,
     dtype=None,
     use_pallas: bool = False,
+    attend_kernel: str = "auto",
 ) -> jnp.ndarray:
     """h (B, N, D), adj (B, N, N) bool, mask (B, N) bool -> (B, N, dout).
 
@@ -50,6 +61,13 @@ def gat_apply(
     ``use_pallas=True`` routes the whole layer through the fused Pallas TPU
     kernel (mmtraj/ops/fused_gat.py) — equivalence-tested against this XLA
     path, which stays canonical (SURVEY.md §7 hard part 5).
+
+    ``attend_kernel`` picks the backend for the score+softmax+aggregate
+    chain alone (projections stay XLA): "auto" uses the Pallas flash-style
+    kernel (mmtraj/ops/fused_attend.py) on TPU at lane-filling graph sizes
+    (N >= 128, measured 1.4-3.5x over the XLA chain; ARCHITECTURE.md pt 12)
+    and XLA otherwise; "xla"/"pallas" pin it.  Backward is always XLA
+    autodiff of the identical math (custom_vjp).
     """
     from mmtraj.ops.fused_gat import fused_gat, gat_math
 
@@ -57,9 +75,28 @@ def gat_apply(
     eye = jnp.eye(N, dtype=bool)
     attend = adj | (eye[None] & mask[:, None, :] & mask[:, :, None])  # (B, N, N)
     hin = h.astype(dtype) if dtype is not None else h
-    fn = fused_gat if use_pallas else gat_math
-    out = fn(
-        hin, attend.astype(jnp.float32), p["wv"], p["a_src"], p["a_dst"],
-        p["wo"], p["bo"], num_heads,
+    if attend_kernel not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown attend_kernel {attend_kernel!r}")
+    use_attend = not use_pallas and (
+        attend_kernel == "pallas"
+        or (attend_kernel == "auto" and N >= 128
+            and jax.default_backend() == "tpu")
     )
+    if use_attend:
+        from mmtraj.ops.fused_attend import attend_pallas
+        from mmtraj.ops.fused_gat import _block_diag
+
+        v = jnp.einsum("bnd,de->bne", hin, p["wv"]).astype(jnp.float32)
+        s_src = v @ _block_diag(p["a_src"].astype(jnp.float32))  # (B, N, H)
+        s_dst = v @ _block_diag(p["a_dst"].astype(jnp.float32))
+        dh = p["wv"].shape[1] // num_heads
+        agg = attend_pallas(v, s_src, s_dst, attend.astype(jnp.float32),
+                            num_heads, _attend_group(N, num_heads, dh))
+        out = agg @ p["wo"].astype(jnp.float32) + p["bo"]
+    else:
+        fn = fused_gat if use_pallas else gat_math
+        out = fn(
+            hin, attend.astype(jnp.float32), p["wv"], p["a_src"], p["a_dst"],
+            p["wo"], p["bo"], num_heads,
+        )
     return jnp.where(mask[..., None], out, 0.0)

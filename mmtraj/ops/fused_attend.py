@@ -47,8 +47,22 @@ formatting" ops are mostly HBM->VMEM staging of alpha for the aggregation
 dots (memory-space promotion, not layout churn) plus transposed v slices;
 XLA already auto-bf16s the chain.  Fusing the chain in Mosaic removes the
 staging but pays more in per-program overhead and half-lane (N=64) VPU
-occupancy.  The kernel stays as the equivalence-tested demonstration of the
-flash-style cut; the XLA chain remains canonical and fastest.
+occupancy.  At N=64 the XLA chain remains canonical and fastest.
+
+ROUND-3 UPDATE — the kernel WINS at lane-filling graph sizes.  Op-level
+sweep (f32, v5e; speedup of this kernel over the XLA chain, best group):
+
+| N   | B_eff=256 | B_eff=512 | B_eff=1280 |
+|-----|-----------|-----------|------------|
+| 64  | 1.03x     | 0.88x     | 0.97x      |
+| 128 | 1.57x     | 1.90x     | 2.22x      |
+| 256 | 1.99x     | 3.00x     | 3.49x      |
+
+End-to-end K=20 rollout at N=128: 71.8k vs 27.6k window-rollouts/s (2.6x).
+At N>=128 the VPU lanes are full and the XLA chain's N^2 alpha staging
+dominates; `ModelConfig.attend_kernel="auto"` (mmtraj/models/gat.py)
+dispatches here on TPU for N>=128 with a VMEM-budgeted group size
+(G=8 up to N=128, G=4 at N=256 — G=8 fails to compile there).
 """
 
 from __future__ import annotations

@@ -82,3 +82,57 @@ def test_gat_isolated_agent_self_attends(rng):
     assert not np.asarray(adj)[0, 0].any()  # agent 0 isolated
     out = gat_apply(params, h, adj, mask, num_heads=4)
     assert np.abs(np.asarray(out[0, 0])).sum() > 0
+
+
+def test_attend_kernel_dispatch_and_equivalence(rng):
+    """attend_kernel="pallas" (interpret mode on CPU) must match the XLA
+    chain through gat_apply; "auto" on CPU must BE the XLA chain exactly
+    (dispatch requires a TPU backend); bad values rejected."""
+    import pytest
+
+    B, N, D, H = 3, 8, 16, 2
+    p = gat_init(jax.random.PRNGKey(0), D, D, H)
+    h = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    xy = jnp.asarray(rng.normal(size=(B, N, 2)).astype(np.float32) * 2)
+    mask = jnp.asarray(rng.random((B, N)) > 0.25)
+    adj = proximity_adjacency(xy, mask, 3.0)
+
+    out_xla = gat_apply(p, h, adj, mask, H, attend_kernel="xla")
+    out_auto = gat_apply(p, h, adj, mask, H, attend_kernel="auto")
+    out_pal = gat_apply(p, h, adj, mask, H, attend_kernel="pallas")
+    np.testing.assert_array_equal(np.asarray(out_xla), np.asarray(out_auto))
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_pal),
+                               atol=2e-5, rtol=1e-5)
+    with pytest.raises(ValueError, match="attend_kernel"):
+        gat_apply(p, h, adj, mask, H, attend_kernel="cuda")
+
+
+def test_attend_kernel_grads_match(rng):
+    """The pallas attend path's custom_vjp backward (XLA autodiff of the
+    identical math) must match the canonical chain's gradients."""
+    B, N, D, H = 2, 8, 16, 2
+    p = gat_init(jax.random.PRNGKey(1), D, D, H)
+    h = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    xy = jnp.asarray(rng.normal(size=(B, N, 2)).astype(np.float32) * 2)
+    mask = jnp.asarray(np.ones((B, N), bool))
+    adj = proximity_adjacency(xy, mask, 3.0)
+
+    def loss(params, kernel):
+        return (gat_apply(params, h, adj, mask, H, attend_kernel=kernel) ** 2).sum()
+
+    g_x = jax.grad(lambda q: loss(q, "xla"))(p)
+    g_p = jax.grad(lambda q: loss(q, "pallas"))(p)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_attend_group_budget():
+    """Group sizing matches the measured compile envelope: G=8 fits at
+    N<=128, N=256 must drop to 4 (G=8 fails to compile there)."""
+    from mmtraj.models.gat import _attend_group
+
+    assert _attend_group(64, 4, 16) == 8
+    assert _attend_group(128, 4, 16) == 8
+    assert _attend_group(256, 4, 16) == 4
+    assert _attend_group(512, 4, 16) == 1
