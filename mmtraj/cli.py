@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=("full", "dots", "dots_no_batch"),
                     help="jax.checkpoint policy for remat presets (what the "
                          "backward pass recomputes vs reads from HBM)")
+    tp.add_argument("--attend-kernel", default=None,
+                    choices=("auto", "xla", "pallas"),
+                    help="GAT attention-chain backend: auto (default) picks "
+                         "the Pallas kernel on TPU at N>=128 where it "
+                         "measured 2.6x faster end-to-end, XLA otherwise")
     tp.add_argument("--weight-decay", type=float, default=None,
                     help="AdamW decoupled weight decay")
     tp.add_argument("--loss", default=None, choices=("nll", "variety", "hybrid"),
@@ -309,6 +314,8 @@ def _apply_overrides(cfg, args):
         mk["hidden_dim"] = args.hidden_dim
     if getattr(args, "remat_policy", None) is not None:
         mk["remat_policy"] = args.remat_policy
+    if getattr(args, "attend_kernel", None) is not None:
+        mk["attend_kernel"] = args.attend_kernel
     return cfg.replace(
         model=dataclasses.replace(model, **mk),
         data=dataclasses.replace(data, **dk),

@@ -42,7 +42,14 @@ def vmem_friendly_batch(k: int, n_max: int, cap: int = 64,
     flagship, 4 for float32 models — evaluate() derives it from the model
     config).  ``vmem_budget`` is the measured v5e scoped-VMEM window; it is a
     *generation-specific constant* (v4/v6e have different VMEM arbitration) —
-    override it rather than trusting the default on other hardware."""
+    override it rather than trusting the default on other hardware.
+
+    Scope note: the cliff this sizes against is the XLA attention chain's
+    alpha staging.  At N >= 128 on TPU the auto-dispatched Pallas attend
+    kernel (ModelConfig.attend_kernel) manages VMEM per program instead;
+    its measured end-to-end optimum at N=128/K=20 is B~=12 (vs 6 from this
+    formula, within ~10%) — pin ``batch_size`` explicitly when squeezing
+    that regime."""
     rows = vmem_budget // (max(n_max, 1) ** 2 * bytes_per_elem)
     return max(1, min(cap, rows // max(k, 1)))
 
