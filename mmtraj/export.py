@@ -64,14 +64,26 @@ def export_predictor(
 
     n = n_agents if n_agents is not None else 0
     assert n > 0, "n_agents is required (padded agent capacity)"
+    plat = platform or jax.default_backend()
+    if plat != "tpu" and model.cfg.attend_kernel == "auto":
+        # The attend-kernel auto dispatch keys on the SESSION backend at
+        # trace time; exporting for a non-TPU target from a TPU session
+        # would otherwise embed a Mosaic custom call the target can't run.
+        import dataclasses
+
+        from mmtraj.models.forecaster import Forecaster
+
+        model = Forecaster(
+            dataclasses.replace(model.cfg, attend_kernel="xla"),
+            model.obs_len, model.pred_len,
+        )
     predict = make_predictor(model, params, stats, k, oversample)
     args = (
         jax.ShapeDtypeStruct((batch, n, model.obs_len, 2), jnp.float32),
         jax.ShapeDtypeStruct((batch, n), jnp.bool_),
         jax.ShapeDtypeStruct((), jnp.int32),
     )
-    plats = [platform or jax.default_backend()]
-    exported = je.export(jax.jit(predict), platforms=plats)(*args)
+    exported = je.export(jax.jit(predict), platforms=[plat])(*args)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"

@@ -58,7 +58,8 @@ sweep (f32, v5e; speedup of this kernel over the XLA chain, best group):
 | 128 | 1.57x     | 1.90x     | 2.22x      |
 | 256 | 1.99x     | 3.00x     | 3.49x      |
 
-End-to-end K=20 rollout at N=128: 71.8k vs 27.6k window-rollouts/s (2.6x).
+End-to-end K=20 rollout at N=128: 71.8k vs 27.6k window-rollouts/s (2.6x);
+at N=256: 30.7k vs 13.6k (2.3x).
 At N>=128 the VPU lanes are full and the XLA chain's N^2 alpha staging
 dominates; `ModelConfig.attend_kernel="auto"` (mmtraj/models/gat.py)
 dispatches here on TPU for N>=128 with a VMEM-budgeted group size
