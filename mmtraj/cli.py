@@ -214,6 +214,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="annotation frame grid (default every 10th video "
                          "frame = 0.4 s)")
 
+    at = sub.add_parser(
+        "autotune-eval",
+        help="measure the fastest eval batch size on THIS chip (replaces the "
+             "v5e-calibrated analytic constant with a measurement; pass the "
+             "winner as eval --batch-size)",
+    )
+    at.add_argument("--ckpt", required=True)
+    at.add_argument("--k", type=int, default=None)
+    at.add_argument("--iters", type=int, default=20)
+
     pp = sub.add_parser("profile-stats",
                         help="summarize a jax.profiler trace (device-time op stats)")
     pp.add_argument("--trace-dir", required=True,
@@ -667,6 +677,20 @@ def main(argv=None) -> int:
         ck = ckpt_lib.load(args.src)
         ckpt_lib.save(args.dst, ck.params, ck.stats, ck.config, ck.step)
         print(f"converted {args.src} -> {args.dst} (step={ck.step})")
+        return 0
+
+    if args.cmd == "autotune-eval":
+        from mmtraj import checkpoint as ckpt_lib
+        from mmtraj.evaluate import autotune_eval_batch
+        from mmtraj.models.forecaster import Forecaster
+
+        ck = ckpt_lib.load(args.ckpt)
+        cfg = ck.config
+        model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+        best = autotune_eval_batch(model, ck.params, ck.stats, cfg.data.n_max,
+                                   args.k or cfg.train.k_samples,
+                                   iters=args.iters)
+        print(f"use: eval --ckpt {args.ckpt} --batch-size {best}")
         return 0
 
     if args.cmd == "profile-stats":

@@ -243,3 +243,19 @@ def test_predict_cli_batch_size_invariant(synth_dir, tmp_path):
         ]) == 0
         outs.append(onp.load(npz)["predictions"])
     onp.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_autotune_eval_cli(synth_dir, tmp_path, capsys):
+    out = str(tmp_path / "at_run")
+    assert main(
+        [
+            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
+            "--steps", "3", "--batch-size", "8", "--k", "2", "--n-max", "12",
+            "--out-dir", out, "--eval-every", "0",
+        ]
+    ) == 0
+    capsys.readouterr()
+    assert main(["autotune-eval", "--ckpt", out + "/checkpoint.npz",
+                 "--iters", "2"]) == 0
+    txt = capsys.readouterr().out
+    assert "best eval batch on this chip" in txt and "--batch-size" in txt

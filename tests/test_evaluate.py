@@ -215,3 +215,14 @@ def test_mode_rollout_eval(setup):
 
     with pytest.raises(ValueError, match="rollout"):
         evaluate(model, params, stats, ds, k=1, rollout="quantum")
+
+
+def test_autotune_eval_batch_smoke(setup):
+    """autotune returns one of its candidates and the analytic guess is
+    among them; tiny candidates/iters keep this CPU-cheap."""
+    from mmtraj.evaluate import autotune_eval_batch
+
+    rng, model, params, stats = setup
+    best = autotune_eval_batch(model, params, stats, n_max=8, k=2, iters=2,
+                               candidates=[2, 4], verbose=False)
+    assert best in (2, 4)

@@ -265,3 +265,35 @@ def test_keras_missing_layer_is_one_line_diagnosis():
     cfg = ModelConfig(cell="gru", social=True, num_heads=2)
     with pytest.raises(KeyError, match="encoder_embedding"):
         import_keras_weights({}, cfg)
+
+
+def test_keras_reset_after_false_full_model_runs():
+    """A forecaster whose cells carry the reset_after=False wh_n params must
+    run the full loss + rollout paths (the import-only cell variant threads
+    through encode/decode scans and stays finite)."""
+    from mmtraj.interop import _cell_from_keras
+
+    cfg = ModelConfig(cell="gru", social=True, num_heads=2, head="gmm")
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    H, E = cfg.hidden_dim, cfg.embed_dim
+    for mod in ("enc", "dec"):
+        raw = {
+            "kernel": rng.normal(size=(E, 3 * H)).astype(np.float32) * 0.2,
+            "recurrent_kernel": rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.2,
+            "bias": rng.normal(size=(3 * H,)).astype(np.float32) * 0.1,
+        }
+        params[mod]["cell"] = jax.tree.map(jnp.asarray, _cell_from_keras(raw, "gru"))
+        assert "wh_n" in params[mod]["cell"]
+
+    from mmtraj.data.transforms import NormStats
+
+    xy = np.cumsum(rng.normal(size=(2, 4, 20, 2)).astype(np.float32) * 0.3, axis=2)
+    mask = np.ones((2, 4), bool)
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))
+    loss, _ = model.loss(params, jnp.asarray(xy), jnp.asarray(mask), stats)
+    assert np.isfinite(float(loss))
+    roll = model.rollout_k(params, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+                           stats, jax.random.PRNGKey(1), 3)
+    assert np.isfinite(np.asarray(roll)).all()
