@@ -297,3 +297,9 @@ def test_keras_reset_after_false_full_model_runs():
     roll = model.rollout_k(params, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
                            stats, jax.random.PRNGKey(1), 3)
     assert np.isfinite(np.asarray(roll)).all()
+    # Fine-tuning imported reset_after=False weights: gradient reaches wh_n.
+    grads = jax.grad(
+        lambda p: model.loss(p, jnp.asarray(xy), jnp.asarray(mask), stats)[0]
+    )(params)
+    g = np.asarray(grads["enc"]["cell"]["wh_n"])
+    assert np.isfinite(g).all() and np.abs(g).max() > 0

@@ -38,3 +38,11 @@ def test_stream_bench_runs_and_reports_both_modes():
                        dtype="float32")
     assert set(res) == {"resident", "stream"}
     assert all(v > 0 for v in res.values())
+
+
+def test_rollout_bench_end_to_end_smoke():
+    from mmtraj.benchmarks.rollout_bench import bench_rollout
+
+    rps = bench_rollout(n_max=8, kernel="xla", batch=2, k=2, iters=2,
+                        verbose=False)
+    assert rps > 0
