@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="WTA rollout samples per training step (default 8)")
     tp.add_argument("--variety-weight", type=float, default=None,
                     help="hybrid loss: weight on the WTA term (default 1.0)")
+    tp.add_argument("--variety-fde-weight", type=float, default=None,
+                    help="extra weight on each sample's final-step squared "
+                         "error inside the WTA min (default 0 = plain "
+                         "Social-GAN variety; targets min-FDE directly)")
     tp.add_argument("--augment", action="store_true",
                     help="random per-window rotation augmentation (on device)")
     tp.add_argument("--augment-flip", action="store_true",
@@ -305,6 +309,7 @@ def _apply_overrides(cfg, args):
         "loss": getattr(args, "loss", None),
         "variety_n": getattr(args, "variety_n", None),
         "variety_weight": getattr(args, "variety_weight", None),
+        "variety_fde_weight": getattr(args, "variety_fde_weight", None),
     }.items() if v is not None}
     if getattr(args, "data_parallel", False):
         tk["data_parallel"] = True

@@ -111,6 +111,11 @@ class TrainConfig:
     loss: str = "nll"
     variety_n: int = 8  # WTA rollout samples per step (cost scales with it)
     variety_weight: float = 1.0  # hybrid: weight on the WTA term
+    # Extra weight on each sample's FINAL-step squared error inside the WTA
+    # min (0 = plain Social-GAN variety).  The plain objective weights all 12
+    # steps equally, which trains min-ADE well but leaves min-FDE on the
+    # table; this is the WTA analogue of weighting FDE alongside ADE.
+    variety_fde_weight: float = 0.0
     lr: float = 1e-3
     # "constant" or "cosine" (linear warmup over `warmup_steps`, cosine decay
     # to lr/100 at `steps`).

@@ -71,6 +71,7 @@ def make_train_step(
     loss_mode: str = "nll",
     variety_n: int = 8,
     variety_weight: float = 1.0,
+    variety_fde_weight: float = 0.0,
 ):
     """Build the jitted (params, opt_state, xy, mask) -> (params, opt_state,
     loss) step.  With a mesh: batch sharded over 'data', state replicated —
@@ -121,7 +122,8 @@ def make_train_step(
             if loss_mode == "nll":
                 return model.loss(p, xy, mask, s, dkey)
             lv = model.loss_variety(p, xy, mask, s, vkey, variety_n,
-                                    drop_key=dkey)
+                                    drop_key=dkey,
+                                    fde_weight=variety_fde_weight)
             if loss_mode == "hybrid":
                 ln, _ = model.loss(p, xy, mask, s, dkey)
                 total = ln + variety_weight * lv
@@ -246,6 +248,7 @@ def fit(
         loss_mode=cfg.train.loss,
         variety_n=cfg.train.variety_n,
         variety_weight=cfg.train.variety_weight,
+        variety_fde_weight=cfg.train.variety_fde_weight,
     )
 
     logger = logger or MetricsLogger(cfg.train.out_dir)

@@ -273,6 +273,33 @@ def test_loss_variety_formula_pinned(rng):
     assert np.isfinite(lv) and lv > 0
 
 
+def test_loss_variety_fde_weight_formula_pinned(rng):
+    """fde_weight adds lambda * final-step squared error to each sample's
+    score BEFORE the min — recomputed from the same rollout_k draws.  At
+    lambda=0 it is bit-identical to the plain variety loss."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    key = jax.random.PRNGKey(4)
+    lam = 0.5
+    plain = float(model.loss_variety(params, xy, mask, _stats(), key, 6))
+    zero = float(model.loss_variety(params, xy, mask, _stats(), key, 6,
+                                    fde_weight=0.0))
+    assert plain == zero
+    lv = float(model.loss_variety(params, xy, mask, _stats(), key, 6,
+                                  fde_weight=lam))
+
+    preds = model.rollout_k(params, xy[:, :, :OBS], mask, _stats(), key, 6)
+    sq = np.asarray(((preds - xy[None, :, :, OBS:]) ** 2).sum(-1))
+    err = sq.mean(-1) + lam * sq[..., -1]
+    best = err.min(axis=0)
+    m = np.asarray(mask, np.float32)
+    want = float((best * m).sum() / m.sum())
+    np.testing.assert_allclose(lv, want, rtol=1e-6)
+    assert lv > plain  # the FDE term is nonnegative and a.s. positive
+
+
 def test_loss_variety_grads_flow(rng):
     """WTA gradients reach every parameter group (through the sampled
     reparameterized rollout and the decoder recurrence)."""

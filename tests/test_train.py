@@ -283,6 +283,19 @@ def test_variety_step_deterministic_and_distinct(synth_dir):
     with pytest.raises(ValueError, match="loss mode"):
         make_train_step(model, opt, stats, loss_mode="wta")
 
+    # The fde_weight knob must reach the jitted objective: lambda=0 is
+    # bit-identical to the plain step above; lambda>0 changes the loss.
+    p = model.init(jax.random.PRNGKey(0))
+    step0 = make_train_step(model, opt, stats, loss_mode="variety",
+                            variety_n=3, seed=7, variety_fde_weight=0.0)
+    _, _, l0 = step0(p, opt.init(p), xy, mask, jnp.int32(5))
+    assert float(l0) == losses[0]
+    p = model.init(jax.random.PRNGKey(0))
+    step_f = make_train_step(model, opt, stats, loss_mode="variety",
+                             variety_n=3, seed=7, variety_fde_weight=0.5)
+    _, _, lf = step_f(p, opt.init(p), xy, mask, jnp.int32(5))
+    assert float(lf) > losses[0]  # adds a nonnegative, a.s. positive term
+
 
 @pytest.mark.parametrize("stream", [False, True])
 def test_resume_replays_uninterrupted_trajectory(stream, synth_dir, tmp_path):
