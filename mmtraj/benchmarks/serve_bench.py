@@ -1,0 +1,166 @@
+"""Serving benchmark: end-to-end latency of the exported frozen predictor.
+
+The deployment story (`mmtraj/export.py`) freezes checkpoint + K-sample
+rollout into one StableHLO artifact; this module measures what a serving
+process actually pays to use it, per request batch size:
+
+- **cold start**: deserialize + first-call compile time (what a replica pays
+  once at boot),
+- **end-to-end latency**: p50/p95 of call -> host-side NumPy result, i.e.
+  including the device->host fetch a server must do before responding.  On
+  this machine the TPU sits behind a tunnel whose round-trip is part of that
+  number — reported as measured, since a remote-accelerator server pays the
+  same shape of cost,
+- **sustained throughput**: pipelined async dispatch — issue many calls on
+  device-committed inputs, block once at the end.  Dispatch overlaps the
+  tunnel round-trip with device compute, which is exactly what a serving
+  process with a request queue sustains.
+
+Run:  python -m mmtraj.benchmarks.serve_bench [--batches 1,8,25,64] [--k 20]
+      [--oversample 1] [--iters 50]
+
+Reference counterpart: none — the reference ships research scripts with no
+serving surface (SURVEY.md §5); these numbers are the rebuild's own contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _make_inputs(batch: int, n: int, obs_len: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(size=(batch, n, obs_len, 2)).astype(np.float32) * 0.4
+    xy = (np.cumsum(steps, axis=2) + rng.normal(size=(batch, n, 1, 2)) * 5).astype(
+        np.float32
+    )
+    mask = rng.random((batch, n)) < 0.75
+    return xy, mask
+
+
+def bench_one(model, params, stats, *, batch: int, n: int, k: int,
+              oversample: int, iters: int, scan_iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mmtraj.export import export_predictor, load_predictor
+
+    path = os.path.join(tempfile.mkdtemp(prefix="mmtraj_serve_"), "predictor.bin")
+    t0 = time.time()
+    export_predictor(path, model, params, stats, k=k, batch=batch, n_agents=n,
+                     oversample=oversample)
+    export_s = time.time() - t0
+    size_mb = os.path.getsize(path) / 1e6
+
+    xy, mask = _make_inputs(batch, n, model.obs_len)
+
+    # Cold start: what a fresh serving replica pays before its first response.
+    t0 = time.time()
+    predict = load_predictor(path)
+    out = np.asarray(predict(xy, mask, 0))
+    cold_s = time.time() - t0
+    assert out.shape == (k, batch, n, model.pred_len, 2), out.shape
+    assert np.isfinite(out[:, np.asarray(mask)]).all()
+
+    # Steady state: end-to-end request latency including the host fetch
+    # (np.asarray forces the device->host copy a server needs to respond).
+    lat = []
+    for i in range(iters):
+        t0 = time.time()
+        np.asarray(predict(xy, mask, i + 1))
+        lat.append(time.time() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    p50, p95 = float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 95))
+
+    # Sustained throughput: issue scan_iters async calls (device-committed
+    # inputs, distinct seeds) and block ONCE on the last result.  Dispatch
+    # pipelines ahead of execution, so per-call tunnel round-trips overlap
+    # with device compute; this is what a server with a request queue
+    # sustains.  (Composing exported.call inside a jitted lax.scan would be
+    # fully tunnel-proof but re-runs XLA over the whole unrolled rollout
+    # graph — measured minutes of recompile per batch size, so not used.)
+    # Sync via a real fetch of the LAST result (np.asarray), not
+    # block_until_ready — the tunnel's block_until_ready returns early
+    # (ARCHITECTURE.md "Benchmark methodology"); calls execute in order on
+    # one device stream, so the last fetch bounds them all.
+    xj, mj = jnp.asarray(xy), jnp.asarray(mask)
+    np.asarray(predict(xj, mj, jnp.int32(0)))
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        outs = [predict(xj, mj, jnp.int32(i)) for i in range(scan_iters)]
+        np.asarray(outs[-1])
+        times.append(time.time() - t0)
+        del outs
+    dt = min(times)
+    dev_win_ps = batch * scan_iters / dt
+    dev_ms_per_call = dt / scan_iters * 1e3
+
+    row = {
+        "batch": batch, "k": k, "oversample": oversample,
+        "artifact_mb": round(size_mb, 2), "export_s": round(export_s, 1),
+        "cold_start_s": round(cold_s, 1),
+        "e2e_p50_ms": round(p50, 1), "e2e_p95_ms": round(p95, 1),
+        "e2e_windows_per_s": round(batch / (p50 / 1e3), 1),
+        "device_ms_per_call": round(dev_ms_per_call, 2),
+        "device_windows_per_s": round(dev_win_ps, 1),
+    }
+    log(f"  {row}")
+    return row
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--batches", default="1,8,25,64")
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--oversample", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=50,
+                    help="end-to-end latency samples per batch size")
+    ap.add_argument("--scan-iters", type=int, default=None,
+                    help="pipelined calls per throughput sample "
+                         "(default: 200 on TPU, 2 elsewhere)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from mmtraj.config import get_config
+    from mmtraj.data.transforms import NormStats
+    from mmtraj.models.forecaster import Forecaster
+
+    on_tpu = jax.default_backend() == "tpu"
+    scan_iters = args.scan_iters or (200 if on_tpu else 2)
+    iters = args.iters if on_tpu else min(args.iters, 3)
+
+    cfg = get_config("4")
+    model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    n = cfg.data.n_max
+
+    log(f"device: {jax.devices()[0]}  N={n} K={args.k} "
+        f"oversample={args.oversample} iters={iters} scan_iters={scan_iters}")
+    rows = []
+    for b in [int(x) for x in args.batches.split(",")]:
+        rows.append(bench_one(model, params, stats, batch=b, n=n, k=args.k,
+                              oversample=args.oversample, iters=iters,
+                              scan_iters=scan_iters))
+    print(json.dumps(rows))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,6 +40,29 @@ def test_stream_bench_runs_and_reports_both_modes():
     assert all(v > 0 for v in res.values())
 
 
+def test_serve_bench_exports_and_measures():
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from mmtraj.benchmarks.serve_bench import bench_one
+    from mmtraj.config import get_config
+    from mmtraj.data.transforms import NormStats
+    from mmtraj.models.forecaster import Forecaster
+
+    cfg = get_config("4")
+    mcfg = dataclasses.replace(cfg.model, hidden_dim=16, embed_dim=8)
+    model = Forecaster(mcfg, cfg.data.obs_len, cfg.data.pred_len)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    row = bench_one(model, params, stats, batch=2, n=8, k=2, oversample=1,
+                    iters=2, scan_iters=2)
+    assert row["artifact_mb"] > 0
+    assert row["e2e_p50_ms"] > 0 and row["e2e_p95_ms"] >= row["e2e_p50_ms"]
+    assert row["device_windows_per_s"] > 0
+
+
 def test_rollout_bench_end_to_end_smoke():
     from mmtraj.benchmarks.rollout_bench import bench_rollout
 
