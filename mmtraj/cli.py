@@ -246,6 +246,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bake sample-and-select into the frozen graph "
                          "(draw R*K, return the K most diverse per agent)")
 
+    sv = sub.add_parser(
+        "serve",
+        help="serve an exported predictor: JSON-lines requests on stdin -> "
+             "K-sample rollouts on stdout (protocol in mmtraj/serve.py)")
+    sv.add_argument("--artifact", required=True,
+                    help="StableHLO file written by `export`")
+
     rp = sub.add_parser("predict",
                         help="sample K futures for a scene's live windows -> .npz")
     rp.add_argument("--ckpt", required=True)
@@ -761,6 +768,13 @@ def main(argv=None) -> int:
                  **({"oversample": args.oversample} if args.oversample > 1 else {}))
         print(f"wrote {args.out}: predictions {preds_np.shape} "
               f"(K={k}, windows={masks_np.shape[0]}, scene={cfg.data.scene})")
+        return 0
+
+    if args.cmd == "serve":
+        from mmtraj.serve import serve_lines
+
+        served = serve_lines(args.artifact, sys.stdin, sys.stdout)
+        print(f"served {served} request(s)", file=sys.stderr)
         return 0
 
     if args.cmd == "export":

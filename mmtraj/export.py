@@ -92,12 +92,18 @@ def export_predictor(
     os.replace(tmp, path)
 
 
-def load_predictor(path: str) -> Callable:
-    """Deserialize an exported predictor into a callable (jit-wrapped)."""
+def load_exported(path: str):
+    """Deserialize the raw jax.export object (exposes in_avals/out_avals,
+    so callers can recover the artifact's static shapes — see mmtraj.serve)."""
     import jax.export as je
 
     with open(path, "rb") as f:
-        exported = je.deserialize(f.read())
+        return je.deserialize(f.read())
+
+
+def load_predictor(path: str) -> Callable:
+    """Deserialize an exported predictor into a callable (jit-wrapped)."""
+    exported = load_exported(path)
     call = exported.call
 
     def predict(xy_obs, mask, seed):

@@ -1,0 +1,130 @@
+"""Serving surface (mmtraj/serve.py): artifact-backed request server.
+
+Covers the contract that makes `cli serve` usable: requests smaller than the
+artifact's baked static shapes are padded up and sliced back with NO effect
+on the returned agents (the masking-invariance guarantee), the JSON-lines
+protocol answers good and bad requests without dying, and the CLI subcommand
+wires stdin/stdout through it.
+"""
+
+import io
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from mmtraj.config import ModelConfig
+from mmtraj.data.transforms import NormStats
+from mmtraj.export import export_predictor, load_predictor
+from mmtraj.models.forecaster import Forecaster
+from mmtraj.serve import PredictServer, serve_lines
+
+B_CAP, N_CAP, K = 4, 8, 3
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    cfg = ModelConfig(num_heads=2, embed_dim=8, hidden_dim=16, num_mixtures=2)
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    path = str(tmp_path_factory.mktemp("serve") / "predictor.stablehlo")
+    export_predictor(path, model, params, stats, k=K, batch=B_CAP,
+                     n_agents=N_CAP, platform="cpu")
+    return path
+
+
+def _walk(rng, b, n, t=8):
+    steps = rng.normal(size=(b, n, t, 2)).astype(np.float32) * 0.3
+    return np.cumsum(steps, axis=2)
+
+
+def test_server_reads_capacity_from_artifact(artifact):
+    s = PredictServer(artifact)
+    assert (s.batch, s.n_agents, s.obs_len, s.k, s.pred_len) == \
+        (B_CAP, N_CAP, 8, K, 12)
+
+
+def test_small_request_matches_manual_padding(artifact, rng):
+    """A (2,3) request must return exactly what a caller doing the padding
+    by hand would get from the raw artifact — padding is transparent."""
+    s = PredictServer(artifact)
+    xy = _walk(rng, 2, 3)
+    mask = np.array([[True, True, False], [True, False, True]])
+    got = s.predict(xy, mask, seed=11)
+    assert got.shape == (K, 2, 3, 12, 2)
+
+    xy_p = np.zeros((B_CAP, N_CAP, 8, 2), np.float32)
+    xy_p[:2, :3] = xy
+    mask_p = np.zeros((B_CAP, N_CAP), bool)
+    mask_p[:2, :3] = mask
+    want = np.asarray(load_predictor(artifact)(xy_p, mask_p, 11))[:, :2, :3]
+    np.testing.assert_array_equal(got, want)
+    assert np.isfinite(got[:, mask]).all()
+
+
+def test_request_validation(artifact, rng):
+    s = PredictServer(artifact)
+    with pytest.raises(ValueError, match="exceeds artifact capacity"):
+        s.predict(_walk(rng, B_CAP + 1, 2))
+    with pytest.raises(ValueError, match="exceeds artifact capacity"):
+        s.predict(_walk(rng, 1, N_CAP + 1))
+    with pytest.raises(ValueError, match="obs_len mismatch"):
+        s.predict(_walk(rng, 1, 2, t=5))
+    with pytest.raises(ValueError, match="mask shape"):
+        s.predict(_walk(rng, 2, 3), mask=np.ones((2, 2), bool))
+    with pytest.raises(ValueError, match="xy must be"):
+        s.predict(np.zeros((2, 3, 8), np.float32))
+
+
+def test_serve_lines_protocol(artifact, rng):
+    """One loop survives: a single-window request (no batch axis), a batched
+    masked request, malformed JSON, and an over-capacity request."""
+    single = _walk(rng, 1, 2)[0]
+    batched = _walk(rng, 2, 3)
+    requests = "\n".join([
+        json.dumps({"xy": single.tolist(), "seed": 5}),
+        json.dumps({"xy": batched.tolist(),
+                    "mask": [[True, True, False], [True, True, True]]}),
+        "{not json",
+        json.dumps({"xy": _walk(rng, B_CAP + 2, 2).tolist()}),
+        "",  # blank lines are skipped, not answered
+    ])
+    out, log = io.StringIO(), io.StringIO()
+    served = serve_lines(artifact, io.StringIO(requests), out, log)
+    assert served == 2
+    lines = out.getvalue().strip().splitlines()
+    assert len(lines) == 4
+    r0, r1, r2, r3 = (json.loads(x) for x in lines)
+    assert np.asarray(r0["pred"]).shape == (K, 2, 12, 2)  # batch axis echoed off
+    assert r0["k"] == K
+    assert np.asarray(r1["pred"]).shape == (K, 2, 3, 12, 2)
+    assert "error" in r2 and "JSONDecodeError" in r2["error"]
+    assert "error" in r3 and "exceeds artifact capacity" in r3["error"]
+    assert "capacity" in log.getvalue()
+
+
+def test_serve_lines_same_seed_reproduces(artifact, rng):
+    xy = _walk(rng, 1, 2)
+    req = json.dumps({"xy": xy.tolist(), "seed": 3}) + "\n"
+    outs = []
+    for _ in range(2):
+        out = io.StringIO()
+        serve_lines(artifact, io.StringIO(req), out, io.StringIO())
+        outs.append(json.loads(out.getvalue()))
+    np.testing.assert_array_equal(outs[0]["pred"], outs[1]["pred"])
+
+
+def test_cli_serve_subcommand(artifact, rng, monkeypatch, capsys):
+    import sys
+
+    from mmtraj.cli import main
+
+    req = json.dumps({"xy": _walk(rng, 1, 2)[0].tolist(), "seed": 1}) + "\n"
+    monkeypatch.setattr(sys, "stdin", io.StringIO(req))
+    assert main(["serve", "--artifact", artifact]) == 0
+    cap = capsys.readouterr()
+    resp = json.loads(cap.out.strip().splitlines()[-1])
+    assert np.asarray(resp["pred"]).shape == (K, 2, 12, 2)
+    assert "served 1 request(s)" in cap.err
