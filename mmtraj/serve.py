@@ -10,9 +10,14 @@ they have.  `serve_lines` is a JSON-lines loop over any byte streams (stdin/
 stdout under `python -m mmtraj.cli serve`), one request per line:
 
     {"xy": [N][T_obs][2] or [B][N][T_obs][2], "mask": [N]|[B][N] (optional),
-     "seed": int (optional)}
+     "seed": int (optional), "encoding": "json"|"b64-npy" (optional)}
     -> {"pred": [K][B][N][T_pred][2], "k": K}   (B/N as sent; singleton batch
                                                  echoed without the B axis)
+
+With ``"encoding": "b64-npy"`` the response carries the prediction as a
+base64 .npy payload ({"pred_b64_npy": ..., "shape": [...], "k": K}) instead
+of nested JSON lists — a batched K=20 response is ~10 MB of JSON text but
+~1/4 that as binary, and np.load decodes it losslessly.
 
 Malformed or out-of-capacity requests get {"error": ...} on their line and
 the loop continues — a bad request must not take the replica down.
@@ -111,7 +116,20 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             pred = server.predict(xy, mask, int(req.get("seed", 0)))
             if single:
                 pred = pred[:, 0]
-            resp = {"pred": pred.tolist(), "k": server.k}
+            encoding = req.get("encoding", "json")
+            if encoding == "b64-npy":
+                import base64
+                import io as _io
+
+                buf = _io.BytesIO()
+                np.save(buf, pred, allow_pickle=False)
+                resp = {"pred_b64_npy": base64.b64encode(buf.getvalue()).decode(),
+                        "shape": list(pred.shape), "k": server.k}
+            elif encoding == "json":
+                resp = {"pred": pred.tolist(), "k": server.k}
+            else:
+                raise ValueError(f"unknown encoding {encoding!r} "
+                                 "(json | b64-npy)")
             ok += 1
         except Exception as e:  # noqa: BLE001 — a bad request must not kill the loop
             resp = {"error": f"{type(e).__name__}: {e}"}

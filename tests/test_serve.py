@@ -105,6 +105,29 @@ def test_serve_lines_protocol(artifact, rng):
     assert "capacity" in log.getvalue()
 
 
+def test_serve_lines_binary_encoding_matches_json(artifact, rng):
+    """b64-npy responses decode losslessly to the json-encoded prediction;
+    an unknown encoding answers {error}, not a dead replica."""
+    import base64
+
+    xy = _walk(rng, 2, 3)
+    requests = "\n".join([
+        json.dumps({"xy": xy.tolist(), "seed": 9}),
+        json.dumps({"xy": xy.tolist(), "seed": 9, "encoding": "b64-npy"}),
+        json.dumps({"xy": xy.tolist(), "encoding": "protobuf"}),
+    ])
+    out = io.StringIO()
+    served = serve_lines(artifact, io.StringIO(requests), out, io.StringIO())
+    assert served == 2
+    as_json, as_bin, bad = (json.loads(x) for x in
+                            out.getvalue().strip().splitlines())
+    decoded = np.load(io.BytesIO(base64.b64decode(as_bin["pred_b64_npy"])))
+    assert decoded.shape == tuple(as_bin["shape"]) == (K, 2, 3, 12, 2)
+    np.testing.assert_array_equal(decoded, np.asarray(as_json["pred"],
+                                                      np.float32))
+    assert "error" in bad and "unknown encoding" in bad["error"]
+
+
 def test_serve_lines_same_seed_reproduces(artifact, rng):
     xy = _walk(rng, 1, 2)
     req = json.dumps({"xy": xy.tolist(), "seed": 3}) + "\n"
