@@ -227,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
     at.add_argument("--ckpt", required=True)
     at.add_argument("--k", type=int, default=None)
     at.add_argument("--iters", type=int, default=20)
+    at.add_argument("--batches", type=int, nargs="+", default=None,
+                    help="candidate batch sizes to time (default: an "
+                         "8-point bracket around the analytic guess)")
 
     pp = sub.add_parser("profile-stats",
                         help="summarize a jax.profiler trace (device-time op stats)")
@@ -701,7 +704,7 @@ def main(argv=None) -> int:
         model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
         best = autotune_eval_batch(model, ck.params, ck.stats, cfg.data.n_max,
                                    args.k or cfg.train.k_samples,
-                                   iters=args.iters)
+                                   iters=args.iters, candidates=args.batches)
         print(f"use: eval --ckpt {args.ckpt} --batch-size {best}")
         return 0
 

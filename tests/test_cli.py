@@ -1,7 +1,14 @@
-"""CLI entry-point tests (SURVEY.md §1 L5: public train/eval entry points)."""
+"""CLI entry-point tests (SURVEY.md §1 L5: public train/eval entry points).
 
-import subprocess
-import sys
+Training runs are the cost center here (each `train` invocation pays a fresh
+compile on the 1-CPU test host), so tests that only need *a* trained artifact
+share the module-scoped ``loo_tree`` / ``ck3`` fixtures instead of training
+their own — the properties under test (table formats, convert round-trips,
+predict output contracts) are independent of which tiny run produced the
+weights."""
+
+import contextlib
+import io
 
 import pytest
 
@@ -9,6 +16,38 @@ from mmtraj.cli import main
 
 
 pytestmark = pytest.mark.slow  # scan-heavy; quick subset: -m "not slow"
+
+
+@pytest.fixture(scope="module")
+def loo_tree(synth_dir, tmp_path_factory):
+    """One 5-fold x 2-seed LOO training tree + its captured train stdout."""
+    out = str(tmp_path_factory.mktemp("cli") / "loo")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            [
+                "train", "--config", "3", "--data-dir", synth_dir, "--scene", "all",
+                "--seeds", "0", "1", "--steps", "2", "--batch-size", "8", "--k", "2",
+                "--n-max", "16", "--out-dir", out, "--eval-every", "0",
+            ]
+        )
+    assert rc == 0
+    return out, buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def ck3(synth_dir, tmp_path_factory):
+    """One tiny trained config-3 (GMM head) checkpoint, shared read-only."""
+    out = str(tmp_path_factory.mktemp("cli") / "ck3")
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert main(
+            [
+                "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
+                "--steps", "5", "--batch-size", "8", "--k", "2", "--n-max", "16",
+                "--out-dir", out, "--eval-every", "0",
+            ]
+        ) == 0
+    return out + "/checkpoint.npz"
 
 
 def test_generate_data(tmp_path):
@@ -38,17 +77,9 @@ def test_train_then_eval_cli(synth_dir, tmp_path, capsys):
     assert "best-of-2" in captured and "FDE=" in captured
 
 
-def test_convert_cli_roundtrips_across_formats(synth_dir, tmp_path, capsys):
-    """train -> convert npz -> .pt -> .h5 -> eval gives identical metrics."""
-    out = str(tmp_path / "conv_run")
-    assert main(
-        [
-            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "zara2",
-            "--steps", "5", "--batch-size", "8", "--k", "2", "--n-max", "24",
-            "--out-dir", out, "--eval-every", "0",
-        ]
-    ) == 0
-    src = out + "/checkpoint.npz"
+def test_convert_cli_roundtrips_across_formats(synth_dir, ck3, tmp_path, capsys):
+    """convert npz -> .pt -> .h5 -> eval gives identical metrics."""
+    src = ck3
     pt, h5 = str(tmp_path / "ck.pt"), str(tmp_path / "ck.h5")
     assert main(["convert", "--src", src, "--dst", pt]) == 0
     assert main(["convert", "--src", pt, "--dst", h5]) == 0
@@ -104,36 +135,19 @@ def test_train_multiseed_reports_mean_std(synth_dir, tmp_path, capsys):
     assert (tmp_path / "ms" / "s1" / "checkpoint.npz").exists()
 
 
-def test_loo_multiseed_reports_mean_std(synth_dir, tmp_path, capsys):
+def test_loo_multiseed_reports_mean_std(loo_tree):
     """--scene all --seeds runs the full protocol per seed; table is mean±std."""
-    rc = main(
-        [
-            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "all",
-            "--steps", "2", "--batch-size", "8", "--k", "1", "--n-max", "16",
-            "--out-dir", str(tmp_path / "looms"), "--eval-every", "0",
-            "--seeds", "0", "1",
-        ]
-    )
-    assert rc == 0
-    out = capsys.readouterr().out
+    _, out = loo_tree
     assert "mean ± std over seeds" in out
     for scene in ("eth", "hotel", "univ", "zara1", "zara2", "AVG"):
         assert scene in out
     assert out.count("±") >= 12  # 6 rows x 2 cols
 
 
-def test_predict_cli_writes_npz(synth_dir, tmp_path, capsys):
-    out = str(tmp_path / "pred_run")
-    assert main(
-        [
-            "train", "--config", "2", "--data-dir", synth_dir, "--scene", "zara2",
-            "--steps", "5", "--batch-size", "8", "--k", "2", "--n-max", "16",
-            "--out-dir", out, "--eval-every", "0",
-        ]
-    ) == 0
+def test_predict_cli_writes_npz(synth_dir, ck3, tmp_path, capsys):
     npz = str(tmp_path / "p.npz")
     assert main([
-        "predict", "--ckpt", out + "/checkpoint.npz", "--data-dir", synth_dir,
+        "predict", "--ckpt", ck3, "--data-dir", synth_dir,
         "--out", npz, "--k", "3", "--batch-size", "16",
     ]) == 0
     import numpy as onp
@@ -145,17 +159,10 @@ def test_predict_cli_writes_npz(synth_dir, tmp_path, capsys):
     assert onp.isfinite(preds[:, mask]).all()
 
 
-def test_eval_loo_cli(synth_dir, tmp_path, capsys):
+def test_eval_loo_cli(loo_tree, capsys):
     """eval-loo re-evaluates a train --scene all tree (auto-detected layout)
     and prints the per-scene mean±std table."""
-    out = str(tmp_path / "loo")
-    assert main(
-        [
-            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "all",
-            "--seeds", "0", "1", "--steps", "3", "--batch-size", "8", "--k", "2",
-            "--n-max", "16", "--out-dir", out, "--eval-every", "0",
-        ]
-    ) == 0
+    out, _ = loo_tree
     capsys.readouterr()
     assert main(["eval-loo", "--loo-dir", out, "--oversample", "2"]) == 0
     out_txt = capsys.readouterr().out
@@ -165,18 +172,10 @@ def test_eval_loo_cli(synth_dir, tmp_path, capsys):
     assert out_txt.count("±") >= 10  # 5 scenes x 2 cols over 2 seeds
 
 
-def test_predict_cli_oversample(synth_dir, tmp_path, capsys):
-    out = str(tmp_path / "pred_os")
-    assert main(
-        [
-            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
-            "--steps", "5", "--batch-size", "8", "--k", "2", "--n-max", "16",
-            "--out-dir", out, "--eval-every", "0",
-        ]
-    ) == 0
+def test_predict_cli_oversample(synth_dir, ck3, tmp_path, capsys):
     npz = str(tmp_path / "p_os.npz")
     assert main([
-        "predict", "--ckpt", out + "/checkpoint.npz", "--data-dir", synth_dir,
+        "predict", "--ckpt", ck3, "--data-dir", synth_dir,
         "--out", npz, "--k", "3", "--batch-size", "16", "--oversample", "2",
     ]) == 0
     import numpy as onp
@@ -221,41 +220,27 @@ def test_import_vsp_cli(tmp_path, capsys):
         main(["import-vsp", "--src", str(src), "--dst", str(dst)])
 
 
-def test_predict_cli_batch_size_invariant(synth_dir, tmp_path):
+def test_predict_cli_batch_size_invariant(synth_dir, ck3, tmp_path):
     """predict output is a pure function of (seed, window): identical npz
     content at different --batch-size (per-window RNG, as in evaluate)."""
     import numpy as onp
 
-    out = str(tmp_path / "pred_inv")
-    assert main(
-        [
-            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
-            "--steps", "3", "--batch-size", "8", "--k", "2", "--n-max", "16",
-            "--out-dir", out, "--eval-every", "0",
-        ]
-    ) == 0
     outs = []
     for bs in ("16", "7"):
         npz = str(tmp_path / f"pi_{bs}.npz")
         assert main([
-            "predict", "--ckpt", out + "/checkpoint.npz", "--data-dir", synth_dir,
+            "predict", "--ckpt", ck3, "--data-dir", synth_dir,
             "--out", npz, "--k", "2", "--batch-size", bs,
         ]) == 0
         outs.append(onp.load(npz)["predictions"])
     onp.testing.assert_array_equal(outs[0], outs[1])
 
 
-def test_autotune_eval_cli(synth_dir, tmp_path, capsys):
-    out = str(tmp_path / "at_run")
-    assert main(
-        [
-            "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
-            "--steps", "3", "--batch-size", "8", "--k", "2", "--n-max", "12",
-            "--out-dir", out, "--eval-every", "0",
-        ]
-    ) == 0
+def test_autotune_eval_cli(ck3, capsys):
     capsys.readouterr()
-    assert main(["autotune-eval", "--ckpt", out + "/checkpoint.npz",
-                 "--iters", "2"]) == 0
+    # --batches limits the sweep to two compiles (the default 8-point
+    # bracket is the production path; the CLI contract is what's under test).
+    assert main(["autotune-eval", "--ckpt", ck3,
+                 "--iters", "2", "--batches", "2", "3"]) == 0
     txt = capsys.readouterr().out
     assert "best eval batch on this chip" in txt and "--batch-size" in txt

@@ -94,7 +94,7 @@ def test_fabricated_reference_pt_forward_parity(tmp_path):
     names), load via the shim, and check the full model forward is identical
     to the source params."""
     cfg = ModelConfig(cell="gru", social=True, num_heads=2, head="gmm")
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)  # short horizon: the property is key mapping
     params = model.init(jax.random.PRNGKey(3))
     sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
           for k, v in export_state_dict(params, cfg).items()}
@@ -104,7 +104,7 @@ def test_fabricated_reference_pt_forward_parity(tmp_path):
     imported = import_reference_checkpoint(path, cfg)
 
     rng = np.random.default_rng(7)
-    xy = np.cumsum(rng.normal(size=(3, 5, 20, 2)).astype(np.float32) * 0.3, axis=2)
+    xy = np.cumsum(rng.normal(size=(3, 5, 7, 2)).astype(np.float32) * 0.3, axis=2)
     mask = np.ones((3, 5), bool)
     mask[2, 3:] = False
     from mmtraj.data.transforms import NormStats
@@ -114,9 +114,9 @@ def test_fabricated_reference_pt_forward_parity(tmp_path):
     loss_b, _ = model.loss(imported, jnp.asarray(xy), jnp.asarray(mask), stats)
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
 
-    roll_a = model.rollout_k(params, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+    roll_a = model.rollout_k(params, jnp.asarray(xy[:, :, :4]), jnp.asarray(mask),
                              stats, jax.random.PRNGKey(0), 4)
-    roll_b = model.rollout_k(imported, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+    roll_b = model.rollout_k(imported, jnp.asarray(xy[:, :, :4]), jnp.asarray(mask),
                              stats, jax.random.PRNGKey(0), 4)
     np.testing.assert_allclose(np.asarray(roll_a), np.asarray(roll_b), atol=1e-5)
 
@@ -208,15 +208,16 @@ def test_keras_h5_roundtrip_forward_parity(cell, tmp_path):
     forward must be identical (the Keras twin of the fabricated-.pt test)."""
     from mmtraj.interop import load_keras_h5, save_keras_h5
 
+    # Short horizon: the property is weight-layout semantics, not dynamics.
     cfg = ModelConfig(cell=cell, social=True, num_heads=2, head="gmm")
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)
     params = model.init(jax.random.PRNGKey(5))
     path = str(tmp_path / "reference_weights.h5")
     save_keras_h5(path, params, cfg)
     imported = load_keras_h5(path, cfg)
 
     rng = np.random.default_rng(9)
-    xy = np.cumsum(rng.normal(size=(3, 5, 20, 2)).astype(np.float32) * 0.3, axis=2)
+    xy = np.cumsum(rng.normal(size=(3, 5, 7, 2)).astype(np.float32) * 0.3, axis=2)
     mask = np.ones((3, 5), bool)
     mask[1, 2:] = False
     from mmtraj.data.transforms import NormStats
@@ -226,9 +227,9 @@ def test_keras_h5_roundtrip_forward_parity(cell, tmp_path):
     loss_b, _ = model.loss(imported, jnp.asarray(xy), jnp.asarray(mask), stats)
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
 
-    roll_a = model.rollout_k(params, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+    roll_a = model.rollout_k(params, jnp.asarray(xy[:, :, :4]), jnp.asarray(mask),
                              stats, jax.random.PRNGKey(0), 4)
-    roll_b = model.rollout_k(imported, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+    roll_b = model.rollout_k(imported, jnp.asarray(xy[:, :, :4]), jnp.asarray(mask),
                              stats, jax.random.PRNGKey(0), 4)
     np.testing.assert_allclose(np.asarray(roll_a), np.asarray(roll_b), atol=1e-5)
 
@@ -274,8 +275,8 @@ def test_keras_reset_after_false_full_model_runs():
     from mmtraj.interop import _cell_from_keras
 
     cfg = ModelConfig(cell="gru", social=True, num_heads=2, head="gmm")
-    model = Forecaster(cfg, 8, 12)
-    params = model.init(jax.random.PRNGKey(0))
+    model = Forecaster(cfg, 4, 3)  # short horizon: the property is the cell
+    params = model.init(jax.random.PRNGKey(0))  # variant, not the dynamics
     rng = np.random.default_rng(11)
     H, E = cfg.hidden_dim, cfg.embed_dim
     for mod in ("enc", "dec"):
@@ -289,12 +290,12 @@ def test_keras_reset_after_false_full_model_runs():
 
     from mmtraj.data.transforms import NormStats
 
-    xy = np.cumsum(rng.normal(size=(2, 4, 20, 2)).astype(np.float32) * 0.3, axis=2)
+    xy = np.cumsum(rng.normal(size=(2, 4, 7, 2)).astype(np.float32) * 0.3, axis=2)
     mask = np.ones((2, 4), bool)
     stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))
     loss, _ = model.loss(params, jnp.asarray(xy), jnp.asarray(mask), stats)
     assert np.isfinite(float(loss))
-    roll = model.rollout_k(params, jnp.asarray(xy[:, :, :8]), jnp.asarray(mask),
+    roll = model.rollout_k(params, jnp.asarray(xy[:, :, :4]), jnp.asarray(mask),
                            stats, jax.random.PRNGKey(1), 3)
     assert np.isfinite(np.asarray(roll)).all()
     # Fine-tuning imported reset_after=False weights: gradient reaches wh_n.

@@ -13,7 +13,12 @@ from mmtraj.config import ModelConfig
 from mmtraj.data.transforms import NormStats
 from mmtraj.models.forecaster import Forecaster
 
-OBS, PRED = 8, 12
+# Short horizons: every property here is horizon-free, and this file builds
+# dozens of distinct programs (5 configs x loss/rollout/grads, remat
+# policies, unroll factors) — T=7 compiles ~3x faster than the flagship 8/12
+# on the 1-CPU test host.  Full-horizon coverage lives in the train/eval/CLI
+# integration tests, which run the real presets.
+OBS, PRED = 4, 3
 
 
 def _batch(rng, B=2, N=5, scale=3.0):
@@ -150,7 +155,7 @@ def test_scan_unroll_trajectory_exact(rng):
     params = ref_model.init(jax.random.PRNGKey(0))
     ref_loss = ref_model.loss(params, xy, mask, _stats())[0]
     ref_roll = ref_model.rollout_k(params, obs, mask, _stats(), key, 4)
-    for unroll in (2, 3, 12):  # 3 does not divide To=8; 12 = full decode
+    for unroll in (2, 3):  # 3 does not divide To=4; 3 = full decode
         m = Forecaster(dataclasses.replace(base_cfg, scan_unroll=unroll), OBS, PRED)
         np.testing.assert_array_equal(
             np.asarray(m.loss(params, xy, mask, _stats())[0]), np.asarray(ref_loss)

@@ -34,14 +34,16 @@ def test_shard_batch_places_on_mesh():
 
 def test_parallel_step_matches_single_device(rng):
     """One DP step over 8 devices must match the single-device step."""
+    # Tiny T: parity is shape-independent and compile cost scales with the
+    # scan length (measured: T=20 -> 37 s, T=7 -> ~1/3 of it on this host).
     cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)
     params = model.init(jax.random.PRNGKey(0))
     stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
     opt = make_optimizer(get_config("3"))
     opt_state = opt.init(params)
 
-    xy = jnp.asarray(rng.normal(size=(16, 6, 20, 2)).astype(np.float32))
+    xy = jnp.asarray(rng.normal(size=(16, 6, 7, 2)).astype(np.float32))
     mask = jnp.asarray(rng.random((16, 6)) > 0.3)
 
     step_single = make_train_step(model, opt, stats, mesh=None)
@@ -84,12 +86,15 @@ def test_sharded_eval_matches_single_device(synth_dir):
     from mmtraj.data.registry import load_scene_windows
     from mmtraj.evaluate import evaluate
 
+    # pred_len 4 / n_max 16: the property (sharded == single program) is
+    # shape-independent; the eval program fully unrolls pred_len, so short
+    # horizons compile ~3x faster on the 1-CPU test host.
     cfg = get_config("3")
-    model = Forecaster(cfg.model, 8, 12)
+    model = Forecaster(cfg.model, 8, 4)
     params = model.init(jax.random.PRNGKey(0))
     stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
-    windows = load_scene_windows(synth_dir, "zara2", 8, 12)
-    ds = WindowDataset(windows[:40], cfg.data.n_max)
+    windows = load_scene_windows(synth_dir, "zara2", 8, 4)
+    ds = WindowDataset(windows[:40], 16)
 
     m1 = evaluate(model, params, stats, ds, k=3, batch_size=16, mesh=None)
     m2 = evaluate(model, params, stats, ds, k=3, batch_size=16, mesh=make_mesh())
@@ -130,12 +135,12 @@ def test_multi_step_dp_training_parity(rng):
     trajectory (not just one step: drift would compound through Adam moments
     and reveal any per-shard reduction mismatch)."""
     cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)
     stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
     opt = make_optimizer(get_config("3"))
     batches = [
         (
-            jnp.asarray(rng.normal(size=(16, 5, 20, 2)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(16, 5, 7, 2)).astype(np.float32)),
             jnp.asarray(rng.random((16, 5)) > 0.25),
         )
         for _ in range(8)
@@ -166,10 +171,10 @@ def test_multi_step_dp_training_parity(rng):
 def test_mesh_size_sweep_one_step_parity(rng, mesh_n):
     """DP parity must hold at every mesh width, not only the full machine."""
     cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1)
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)
     stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
     opt = make_optimizer(get_config("3"))
-    xy = jnp.asarray(rng.normal(size=(8, 4, 20, 2)).astype(np.float32))
+    xy = jnp.asarray(rng.normal(size=(8, 4, 7, 2)).astype(np.float32))
     mask = jnp.asarray(rng.random((8, 4)) > 0.2)
 
     p_s, o_s = _fresh_state(model, opt)
@@ -188,11 +193,11 @@ def test_dp_step_with_augment_and_dropout_runs(rng):
     sharding) must compile and run under a mesh and stay deterministic for a
     fixed step index."""
     cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1, dropout=0.2)
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)
     stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
     opt = make_optimizer(get_config("3"))
     mesh = make_mesh()
-    xy = jnp.asarray(rng.normal(size=(16, 4, 20, 2)).astype(np.float32))
+    xy = jnp.asarray(rng.normal(size=(16, 4, 7, 2)).astype(np.float32))
     mask = jnp.asarray(rng.random((16, 4)) > 0.2)
     xy_s, mask_s = shard_batch((xy, mask), mesh)
 
@@ -216,11 +221,11 @@ def test_sharded_eval_batch_not_divisible_by_mesh(synth_dir):
     from mmtraj.evaluate import evaluate
 
     cfg = get_config("3")
-    model = Forecaster(cfg.model, 8, 12)
+    model = Forecaster(cfg.model, 8, 4)
     params = model.init(jax.random.PRNGKey(0))
     stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
-    windows = load_scene_windows(synth_dir, "zara2", 8, 12)
-    ds = WindowDataset(windows[:30], cfg.data.n_max)
+    windows = load_scene_windows(synth_dir, "zara2", 8, 4)
+    ds = WindowDataset(windows[:30], 16)
 
     m1 = evaluate(model, params, stats, ds, k=2, batch_size=13, mesh=None)
     m2 = evaluate(model, params, stats, ds, k=2, batch_size=13, mesh=make_mesh())
