@@ -255,6 +255,14 @@ def build_parser() -> argparse.ArgumentParser:
              "K-sample rollouts on stdout (protocol in mmtraj/serve.py)")
     sv.add_argument("--artifact", required=True,
                     help="StableHLO file written by `export`")
+    sv.add_argument("--aggregate", type=int, default=1,
+                    help="micro-batch up to N consecutive single-window "
+                         "same-seed requests into one device call (serve_bench: "
+                         "sustained throughput peaks near the VMEM-optimal "
+                         "batch; semantics = client-side batching)")
+    sv.add_argument("--window-ms", type=float, default=5.0,
+                    help="max wait for the first request of a group to gather "
+                         "company (only with --aggregate > 1)")
 
     rp = sub.add_parser("predict",
                         help="sample K futures for a scene's live windows -> .npz")
@@ -776,7 +784,8 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from mmtraj.serve import serve_lines
 
-        served = serve_lines(args.artifact, sys.stdin, sys.stdout)
+        served = serve_lines(args.artifact, sys.stdin, sys.stdout,
+                             aggregate=args.aggregate, window_ms=args.window_ms)
         print(f"served {served} request(s)", file=sys.stderr)
         return 0
 

@@ -19,6 +19,19 @@ base64 .npy payload ({"pred_b64_npy": ..., "shape": [...], "k": K}) instead
 of nested JSON lists — a batched K=20 response is ~10 MB of JSON text but
 ~1/4 that as binary, and np.load decodes it losslessly.
 
+**Request aggregation** (``aggregate > 1`` / ``cli serve --aggregate N``):
+serve_bench measured sustained throughput peaking near the VMEM-optimal
+batch (~25 windows at the flagship shape) while single-window calls waste
+>90% of each device dispatch — so the loop can micro-batch: consecutive
+single-window requests with the same seed are collected for up to
+``window_ms`` ms (or until N are pending / capacity is hit) and answered
+with ONE device call.  The contract is exactly client-side batching: each
+response equals what the caller would have received by concatenating the
+group into one batched request (per-window sample streams are keyed by slot,
+so they depend on the group's composition, like any batched request).
+Responses always come back in request order; malformed or non-groupable
+requests flush the pending group first.
+
 Malformed or out-of-capacity requests get {"error": ...} on their line and
 the loop continues — a bad request must not take the replica down.
 
@@ -30,6 +43,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 from typing import IO, Optional
 
 import numpy as np
@@ -56,14 +70,11 @@ class PredictServer:
 
         self._call = jax.jit(self._exported.call)
 
-    def predict(self, xy: np.ndarray, mask: Optional[np.ndarray] = None,
-                seed: int = 0) -> np.ndarray:
-        """xy (B,N,obs_len,2) -> (K,B,N,pred_len,2); B/N may be anything up
-        to the artifact's static capacity (padded agents return garbage the
-        slice drops; padding never changes valid agents' outputs — the
-        masking-invariance contract, tests/test_gat.py)."""
-        import jax.numpy as jnp
-
+    def check(self, xy: np.ndarray,
+              mask: Optional[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        """Validate a (B,N,obs_len,2) request against the artifact's static
+        capacity; returns (xy_f32, mask_bool) with the default all-true mask
+        materialized.  Raises ValueError with a one-line diagnosis."""
         xy = np.asarray(xy, np.float32)
         if xy.ndim != 4 or xy.shape[-1] != 2:
             raise ValueError(f"xy must be (B,N,{self.obs_len},2), got {xy.shape}")
@@ -80,7 +91,18 @@ class PredictServer:
         mask = np.asarray(mask, bool)
         if mask.shape != (b, n):
             raise ValueError(f"mask shape {mask.shape} != ({b},{n})")
+        return xy, mask
 
+    def predict(self, xy: np.ndarray, mask: Optional[np.ndarray] = None,
+                seed: int = 0) -> np.ndarray:
+        """xy (B,N,obs_len,2) -> (K,B,N,pred_len,2); B/N may be anything up
+        to the artifact's static capacity (padded agents return garbage the
+        slice drops; padding never changes valid agents' outputs — the
+        masking-invariance contract, tests/test_gat.py)."""
+        import jax.numpy as jnp
+
+        xy, mask = self.check(xy, mask)
+        b, n = mask.shape
         xy_p = np.zeros((self.batch, self.n_agents, self.obs_len, 2), np.float32)
         xy_p[:b, :n] = xy
         mask_p = np.zeros((self.batch, self.n_agents), bool)
@@ -90,48 +112,156 @@ class PredictServer:
         return np.asarray(out)[:, :b, :n]
 
 
+def _parse_request(line: str, server: PredictServer) -> dict:
+    """One JSON line -> validated request dict (raises on anything wrong)."""
+    req = json.loads(line)
+    xy = np.asarray(req["xy"], np.float32)
+    single = xy.ndim == 3  # [N][T][2]: echo back without a batch axis
+    if single:
+        xy = xy[None]
+    mask = req.get("mask")
+    if mask is not None:
+        mask = np.asarray(mask, bool)
+        if single:
+            mask = mask[None]
+    xy, mask = server.check(xy, mask)
+    encoding = req.get("encoding", "json")
+    if encoding not in ("json", "b64-npy"):
+        raise ValueError(f"unknown encoding {encoding!r} (json | b64-npy)")
+    return {"xy": xy, "mask": mask, "seed": int(req.get("seed", 0)),
+            "single": single, "encoding": encoding}
+
+
+def _encode_response(pred: np.ndarray, k: int, encoding: str) -> dict:
+    if encoding == "b64-npy":
+        import base64
+        import io as _io
+
+        buf = _io.BytesIO()
+        np.save(buf, pred, allow_pickle=False)
+        return {"pred_b64_npy": base64.b64encode(buf.getvalue()).decode(),
+                "shape": list(pred.shape), "k": k}
+    return {"pred": pred.tolist(), "k": k}
+
+
 def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
-                log_stream: IO[str] = sys.stderr) -> int:
-    """JSON-lines request loop; returns the number of requests served OK."""
+                log_stream: IO[str] = sys.stderr, aggregate: int = 1,
+                window_ms: float = 5.0) -> int:
+    """JSON-lines request loop; returns the number of requests served OK.
+
+    With ``aggregate > 1``, consecutive single-window same-seed requests are
+    micro-batched into one device call (see the module docstring for the
+    exact semantics); ``window_ms`` bounds how long the first request of a
+    group waits for company.
+    """
     server = PredictServer(artifact_path)
+    agg = max(1, min(int(aggregate), server.batch))
     print(f"serving {artifact_path}: capacity batch={server.batch} "
           f"n_agents={server.n_agents} obs_len={server.obs_len} "
-          f"K={server.k}", file=log_stream, flush=True)
+          f"K={server.k}"
+          + (f" aggregate={agg} window_ms={window_ms}" if agg > 1 else ""),
+          file=log_stream, flush=True)
     ok = 0
-    for line in in_stream:
-        line = line.strip()
+
+    def emit(resp: dict) -> None:
+        print(json.dumps(resp), file=out_stream, flush=True)
+
+    def answer_one(r: dict) -> None:
+        nonlocal ok
+        try:
+            pred = server.predict(r["xy"], r["mask"], r["seed"])
+            if r["single"]:
+                pred = pred[:, 0]
+            resp = _encode_response(pred, server.k, r["encoding"])
+            ok += 1
+        except Exception as e:  # noqa: BLE001 — must not kill the loop
+            resp = {"error": f"{type(e).__name__}: {e}"}
+        emit(resp)
+
+    if agg == 1:
+        for line in in_stream:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                r = _parse_request(line, server)
+            except Exception as e:  # noqa: BLE001
+                emit({"error": f"{type(e).__name__}: {e}"})
+                continue
+            answer_one(r)
+        return ok
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue()
+    _EOF = object()
+
+    def reader() -> None:
+        for line in in_stream:
+            q.put(line)
+        q.put(_EOF)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    pending: list[dict] = []
+    deadline = 0.0
+
+    def flush() -> None:
+        """Answer every pending request with one device call (in order)."""
+        nonlocal ok
+        if not pending:
+            return
+        group, n_g = pending[:], max(r["mask"].shape[1] for r in pending)
+        pending.clear()
+        xy_b = np.zeros((len(group), n_g, server.obs_len, 2), np.float32)
+        mask_b = np.zeros((len(group), n_g), bool)
+        for j, r in enumerate(group):
+            n = r["mask"].shape[1]
+            xy_b[j, :n] = r["xy"][0]
+            mask_b[j, :n] = r["mask"][0]
+        try:
+            pred = server.predict(xy_b, mask_b, group[0]["seed"])
+        except Exception as e:  # noqa: BLE001
+            for _ in group:
+                emit({"error": f"{type(e).__name__}: {e}"})
+            return
+        if len(group) > 1:
+            print(f"aggregated {len(group)} requests into one device call",
+                  file=log_stream, flush=True)
+        for j, r in enumerate(group):
+            n = r["mask"].shape[1]
+            emit(_encode_response(pred[:, j, :n], server.k, r["encoding"]))
+            ok += 1
+
+    while True:
+        timeout = max(0.0, deadline - time.monotonic()) if pending else None
+        try:
+            item = q.get(timeout=timeout)
+        except queue.Empty:  # window expired with requests pending
+            flush()
+            continue
+        if item is _EOF:
+            flush()
+            break
+        line = item.strip()
         if not line:
             continue
         try:
-            req = json.loads(line)
-            xy = np.asarray(req["xy"], np.float32)
-            single = xy.ndim == 3  # [N][T][2]: echo back without a batch axis
-            if single:
-                xy = xy[None]
-            mask = req.get("mask")
-            if mask is not None:
-                mask = np.asarray(mask, bool)
-                if single:
-                    mask = mask[None]
-            pred = server.predict(xy, mask, int(req.get("seed", 0)))
-            if single:
-                pred = pred[:, 0]
-            encoding = req.get("encoding", "json")
-            if encoding == "b64-npy":
-                import base64
-                import io as _io
-
-                buf = _io.BytesIO()
-                np.save(buf, pred, allow_pickle=False)
-                resp = {"pred_b64_npy": base64.b64encode(buf.getvalue()).decode(),
-                        "shape": list(pred.shape), "k": server.k}
-            elif encoding == "json":
-                resp = {"pred": pred.tolist(), "k": server.k}
-            else:
-                raise ValueError(f"unknown encoding {encoding!r} "
-                                 "(json | b64-npy)")
-            ok += 1
-        except Exception as e:  # noqa: BLE001 — a bad request must not kill the loop
-            resp = {"error": f"{type(e).__name__}: {e}"}
-        print(json.dumps(resp), file=out_stream, flush=True)
+            r = _parse_request(line, server)
+        except Exception as e:  # noqa: BLE001
+            flush()  # answers stay in request order
+            emit({"error": f"{type(e).__name__}: {e}"})
+            continue
+        if pending and not (r["single"] and r["seed"] == pending[0]["seed"]):
+            flush()
+        if r["single"]:
+            if not pending:
+                deadline = time.monotonic() + window_ms / 1000.0
+            pending.append(r)
+            if len(pending) >= agg:
+                flush()
+        else:
+            flush()
+            answer_one(r)
     return ok

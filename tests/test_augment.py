@@ -18,7 +18,7 @@ from mmtraj.models.forecaster import Forecaster
 from mmtraj.train import make_optimizer, make_train_step
 
 
-def _xy_mask(rng, B=4, N=5, T=20):
+def _xy_mask(rng, B=4, N=5, T=7):
     xy = np.cumsum(rng.normal(size=(B, N, T, 2)).astype(np.float32) * 0.3, axis=2)
     mask = np.ones((B, N), bool)
     mask[1, 3:] = False
@@ -75,7 +75,7 @@ def test_flip_produces_improper_maps():
 
 def test_dropout_train_stochastic_eval_deterministic():
     cfg = ModelConfig(num_heads=2, dropout=0.3)
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(4)
     xy, mask = _xy_mask(rng)
@@ -92,7 +92,7 @@ def test_dropout_train_stochastic_eval_deterministic():
 
 def test_dropout_zero_is_identity_even_with_key():
     cfg = ModelConfig(num_heads=2, dropout=0.0)
-    model = Forecaster(cfg, 8, 12)
+    model = Forecaster(cfg, 4, 3)
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(5)
     xy, mask = _xy_mask(rng)
@@ -110,7 +110,8 @@ def test_train_step_with_augment_and_dropout_descends():
         data=DataConfig(n_max=6),
         train=TrainConfig(batch_size=4, augment_rotate=True, augment_flip=True, seed=0),
     )
-    model = Forecaster(cfg.model, 8, 12)
+    model = Forecaster(cfg.model, 8, 12)  # full horizon: the -0.3 descent
+    # margin below is calibrated to the pred-12 NLL scale
     params = model.init(jax.random.PRNGKey(0))
     opt = make_optimizer(cfg)
     opt_state = opt.init(params)
@@ -119,7 +120,7 @@ def test_train_step_with_augment_and_dropout_descends():
         augment_rotate=True, augment_flip=True, seed=0,
     )
     rng = np.random.default_rng(6)
-    xy, mask = _xy_mask(rng, B=4, N=6)
+    xy, mask = _xy_mask(rng, B=4, N=6, T=20)
     losses = []
     for i in range(60):
         params, opt_state, loss = step_fn(params, opt_state, xy, mask, jnp.int32(i))
@@ -131,7 +132,7 @@ def test_train_step_with_augment_and_dropout_descends():
 def test_step_rng_reproducible_across_builds():
     """Same seed + step index -> bit-identical loss (resume determinism)."""
     cfg = Config(model=ModelConfig(num_heads=2, dropout=0.2))
-    model = Forecaster(cfg.model, 8, 12)
+    model = Forecaster(cfg.model, 4, 3)
     params = model.init(jax.random.PRNGKey(0))
     opt = make_optimizer(cfg)
     stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.3, np.float32))

@@ -139,6 +139,64 @@ def test_serve_lines_same_seed_reproduces(artifact, rng):
     np.testing.assert_array_equal(outs[0]["pred"], outs[1]["pred"])
 
 
+def test_aggregation_equals_client_side_batching(artifact, rng):
+    """Three single-window same-seed requests under --aggregate must each
+    get exactly the slice they'd get from sending the three windows as ONE
+    batched request (the documented aggregation contract), in order."""
+    xs = [_walk(rng, 1, n)[0] for n in (2, 3, 1)]  # ragged N across requests
+    reqs = "\n".join(json.dumps({"xy": x.tolist(), "seed": 4}) for x in xs)
+    out = io.StringIO()
+    served = serve_lines(artifact, io.StringIO(reqs), out, io.StringIO(),
+                         aggregate=4, window_ms=50.0)
+    assert served == 3
+    got = [np.asarray(json.loads(x)["pred"], np.float32)
+           for x in out.getvalue().strip().splitlines()]
+
+    n_g = max(x.shape[0] for x in xs)
+    xy_b = np.zeros((3, n_g, 8, 2), np.float32)
+    mask_b = np.zeros((3, n_g), bool)
+    for j, x in enumerate(xs):
+        xy_b[j, :x.shape[0]] = x
+        mask_b[j, :x.shape[0]] = True
+    want = PredictServer(artifact).predict(xy_b, mask_b, seed=4)
+    for j, x in enumerate(xs):
+        assert got[j].shape == (K, x.shape[0], 12, 2)
+        np.testing.assert_array_equal(got[j], want[:, j, :x.shape[0]])
+
+
+def test_aggregation_preserves_order_with_mixed_requests(artifact, rng):
+    """A seed change, a batched request, and a malformed line each flush the
+    pending group; every answer still lands on its request's line."""
+    s1, s2 = _walk(rng, 1, 2)[0], _walk(rng, 1, 2)[0]
+    batched = _walk(rng, 2, 2)
+    reqs = "\n".join([
+        json.dumps({"xy": s1.tolist(), "seed": 0}),
+        json.dumps({"xy": s2.tolist(), "seed": 7}),     # seed change: flush
+        json.dumps({"xy": batched.tolist(), "seed": 7}),  # batched: own call
+        "{not json",                                     # error in order
+        json.dumps({"xy": s1.tolist(), "seed": 0}),
+    ])
+    out, log = io.StringIO(), io.StringIO()
+    served = serve_lines(artifact, io.StringIO(reqs), out, log,
+                         aggregate=8, window_ms=20.0)
+    assert served == 4
+    lines = [json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert len(lines) == 5
+    assert np.asarray(lines[0]["pred"]).shape == (K, 2, 12, 2)
+    assert np.asarray(lines[1]["pred"]).shape == (K, 2, 12, 2)
+    assert np.asarray(lines[2]["pred"]).shape == (K, 2, 2, 12, 2)
+    assert "error" in lines[3]
+    assert np.asarray(lines[4]["pred"]).shape == (K, 2, 12, 2)
+    # requests 1 and 5 share seed 0 but are separated by flushes — the lone
+    # request answers identically to the unaggregated loop (G=1 group).
+    solo = io.StringIO()
+    serve_lines(artifact, io.StringIO(json.dumps({"xy": s1.tolist(), "seed": 0})),
+                solo, io.StringIO())
+    np.testing.assert_array_equal(
+        np.asarray(lines[0]["pred"]), np.asarray(json.loads(solo.getvalue())["pred"])
+    )
+
+
 def test_cli_serve_subcommand(artifact, rng, monkeypatch, capsys):
     import sys
 
