@@ -123,6 +123,57 @@ def bench_one(model, params, stats, *, batch: int, n: int, k: int,
     return row
 
 
+def bench_serve_loop(model, params, stats, *, n: int, k: int,
+                     n_requests: int, aggregates: list[int]) -> list[dict]:
+    """Requests/s of the full `serve_lines` protocol loop (JSON parse ->
+    group -> device call -> b64-npy encode) for a stream of single-window
+    requests, per --aggregate setting.
+
+    Each aggregate level serves through an artifact exported with
+    batch=aggregate — the capacity a replica deploying that aggregation
+    level would bake — so aggregate=1 is an honestly-sized single-window
+    artifact, not a wide program wasted on singles.  This measures the
+    serving *loop*, not just the device call: aggregation only pays off if
+    the grouped call beats per-request dispatch by more than the host-side
+    grouping costs — on a 1-CPU host with the TPU behind a tunnel, exactly
+    the deployment shape this repo documents.
+    """
+    import io
+
+    from mmtraj.export import export_predictor
+    from mmtraj.serve import serve_lines
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(n_requests):
+        steps = rng.normal(size=(n - 16, model.obs_len, 2)).astype(np.float32) * 0.4
+        xy = np.cumsum(steps, axis=1)
+        lines.append(json.dumps({"xy": xy.tolist(), "seed": 4,
+                                 "encoding": "b64-npy"}))
+    payload = "\n".join(lines)
+
+    rows = []
+    for agg in aggregates:
+        path = os.path.join(tempfile.mkdtemp(prefix="mmtraj_serve_"),
+                            "predictor.bin")
+        export_predictor(path, model, params, stats, k=k, batch=agg,
+                         n_agents=n, oversample=1)
+        # warm the compiled path (one full group and the EOF remainder)
+        serve_lines(path, io.StringIO("\n".join(lines[: agg + 1])),
+                    io.StringIO(), io.StringIO(), aggregate=agg)
+        t0 = time.time()
+        out = io.StringIO()
+        served = serve_lines(path, io.StringIO(payload), out, io.StringIO(),
+                             aggregate=agg, window_ms=5.0)
+        dt = time.time() - t0
+        assert served == n_requests, (served, n_requests)
+        row = {"aggregate": agg, "requests_per_s": round(n_requests / dt, 1),
+               "ms_per_request": round(dt / n_requests * 1e3, 2)}
+        log(f"  serve-loop {row}")
+        rows.append(row)
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batches", default="1,8,25,64")
@@ -133,6 +184,14 @@ def main(argv=None) -> int:
     ap.add_argument("--scan-iters", type=int, default=None,
                     help="pipelined calls per throughput sample "
                          "(default: 200 on TPU, 2 elsewhere)")
+    ap.add_argument("--serve-loop", action="store_true",
+                    help="measure the serve_lines protocol loop (requests/s "
+                         "for single-window request streams) per --aggregates")
+    ap.add_argument("--aggregates", default="1,8,25",
+                    help="aggregate settings for --serve-loop")
+    ap.add_argument("--requests", type=int, default=None,
+                    help="request-stream length for --serve-loop "
+                         "(default: 200 on TPU, 6 elsewhere)")
     args = ap.parse_args(argv)
 
     import jax
@@ -150,6 +209,16 @@ def main(argv=None) -> int:
     params = model.init(jax.random.PRNGKey(0))
     stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
     n = cfg.data.n_max
+
+    if args.serve_loop:
+        aggs = [int(x) for x in args.aggregates.split(",")]
+        n_requests = args.requests or (200 if on_tpu else 6)
+        log(f"device: {jax.devices()[0]}  serve-loop N={n} K={args.k} "
+            f"requests={n_requests} aggregates={aggs}")
+        rows = bench_serve_loop(model, params, stats, n=n, k=args.k,
+                                n_requests=n_requests, aggregates=aggs)
+        print(json.dumps(rows))
+        return 0
 
     log(f"device: {jax.devices()[0]}  N={n} K={args.k} "
         f"oversample={args.oversample} iters={iters} scan_iters={scan_iters}")

@@ -62,7 +62,16 @@ gmask = jax.make_array_from_process_local_data(shd, mask[4*pid:4*pid+4], mask.sh
 
 stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
 step = make_train_step(model, opt, stats, mesh=mesh)
-_, _, loss = step(params, opt_state, gxy, gmask)
+# AOT-compile, then align on the coordination-service barrier BEFORE the
+# first cross-process collective executes: gloo's kv rendezvous has a hard
+# ~30 s window, and compile-time skew between the workers on a loaded
+# 1-CPU host exceeded it (observed: DEADLINE_EXCEEDED in GetKeyValue).
+# The barrier rides the coordination service (long timeout, no gloo), so
+# after it both workers hit the gloo context init within milliseconds.
+compiled = step.lower(params, opt_state, gxy, gmask).compile()
+from jax._src.distributed import global_state
+global_state.client.wait_at_barrier("mmtraj_step_ready", 600_000)
+_, _, loss = compiled(params, opt_state, gxy, gmask)
 print(f"RESULT {pid} {float(loss):.12f}", flush=True)
 """
 

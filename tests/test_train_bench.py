@@ -63,6 +63,28 @@ def test_serve_bench_exports_and_measures():
     assert row["device_windows_per_s"] > 0
 
 
+def test_serve_loop_bench_measures_aggregation():
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from mmtraj.benchmarks.serve_bench import bench_serve_loop
+    from mmtraj.config import get_config
+    from mmtraj.data.transforms import NormStats
+    from mmtraj.models.forecaster import Forecaster
+
+    cfg = get_config("4")
+    mcfg = dataclasses.replace(cfg.model, hidden_dim=16, embed_dim=8)
+    model = Forecaster(mcfg, cfg.data.obs_len, cfg.data.pred_len)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    rows = bench_serve_loop(model, params, stats, n=18, k=2, n_requests=4,
+                            aggregates=[1, 2])
+    assert [r["aggregate"] for r in rows] == [1, 2]
+    assert all(r["requests_per_s"] > 0 for r in rows)
+
+
 def test_rollout_bench_end_to_end_smoke():
     from mmtraj.benchmarks.rollout_bench import bench_rollout
 
