@@ -238,7 +238,9 @@ def test_fit_variety_loss_descends(loss_mode, synth_dir, tmp_path):
     trains the best-of-K contract metric directly, VERDICT r2 #2)."""
     import dataclasses
 
-    cfg = _quick_cfg("3", synth_dir, tmp_path, steps=60)
+    # n_max 12: the N axis only scales the compile (the WTA objective embeds
+    # variety_n rollouts in the train program); descent needs the 60 steps.
+    cfg = _quick_cfg("3", synth_dir, tmp_path, steps=60, n_max=12)
     cfg = cfg.replace(
         train=dataclasses.replace(cfg.train, loss=loss_mode, variety_n=4),
     )
