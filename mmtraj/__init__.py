@@ -42,4 +42,8 @@ def __getattr__(name):  # lazy top-level API (keeps `import mmtraj` light)
         import mmtraj.checkpoint as checkpoint
 
         return checkpoint
+    if name == "PredictServer":
+        from mmtraj.serve import PredictServer
+
+        return PredictServer
     raise AttributeError(f"module 'mmtraj' has no attribute {name!r}")

@@ -263,6 +263,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--window-ms", type=float, default=5.0,
                     help="max wait for the first request of a group to gather "
                          "company (only with --aggregate > 1)")
+    sv.add_argument("--stats-every", type=int, default=0,
+                    help="log one operational line (ok/err counts, qps, mean "
+                         "group size) to stderr every N answered requests")
 
     rp = sub.add_parser("predict",
                         help="sample K futures for a scene's live windows -> .npz")
@@ -785,7 +788,8 @@ def main(argv=None) -> int:
         from mmtraj.serve import serve_lines
 
         served = serve_lines(args.artifact, sys.stdin, sys.stdout,
-                             aggregate=args.aggregate, window_ms=args.window_ms)
+                             aggregate=args.aggregate, window_ms=args.window_ms,
+                             stats_every=args.stats_every)
         print(f"served {served} request(s)", file=sys.stderr)
         return 0
 

@@ -146,13 +146,16 @@ def _encode_response(pred: np.ndarray, k: int, encoding: str) -> dict:
 
 def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                 log_stream: IO[str] = sys.stderr, aggregate: int = 1,
-                window_ms: float = 5.0) -> int:
+                window_ms: float = 5.0, stats_every: int = 0) -> int:
     """JSON-lines request loop; returns the number of requests served OK.
 
     With ``aggregate > 1``, consecutive single-window same-seed requests are
     micro-batched into one device call (see the module docstring for the
     exact semantics); ``window_ms`` bounds how long the first request of a
-    group waits for company.
+    group waits for company.  With ``stats_every=N``, one operational line
+    goes to ``log_stream`` every N answered requests: cumulative ok/err
+    counts, requests/s since the previous line, and (when aggregating) the
+    mean device-call group size over that interval.
     """
     server = PredictServer(artifact_path)
     agg = max(1, min(int(aggregate), server.batch))
@@ -162,14 +165,30 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
           + (f" aggregate={agg} window_ms={window_ms}" if agg > 1 else ""),
           file=log_stream, flush=True)
     ok = 0
+    st = {"err": 0, "calls": 0, "answered": 0, "t": time.monotonic(),
+          "last_answered": 0}
 
     def emit(resp: dict) -> None:
         print(json.dumps(resp), file=out_stream, flush=True)
+        st["answered"] += 1
+        if "error" in resp:
+            st["err"] += 1
+        if stats_every and st["answered"] % stats_every == 0:
+            now = time.monotonic()
+            n = st["answered"] - st["last_answered"]
+            qps = n / max(now - st["t"], 1e-9)
+            line = (f"stats: answered={st['answered']} ok={ok} "
+                    f"err={st['err']} qps={qps:.1f}")
+            if agg > 1 and st["calls"]:
+                line += f" mean_group={n / st['calls']:.1f}"
+            print(line, file=log_stream, flush=True)
+            st["t"], st["last_answered"], st["calls"] = now, st["answered"], 0
 
     def answer_one(r: dict) -> None:
         nonlocal ok
         try:
             pred = server.predict(r["xy"], r["mask"], r["seed"])
+            st["calls"] += 1
             if r["single"]:
                 pred = pred[:, 0]
             resp = _encode_response(pred, server.k, r["encoding"])
@@ -222,6 +241,7 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             mask_b[j, :n] = r["mask"][0]
         try:
             pred = server.predict(xy_b, mask_b, group[0]["seed"])
+            st["calls"] += 1
         except Exception as e:  # noqa: BLE001
             for _ in group:
                 emit({"error": f"{type(e).__name__}: {e}"})
@@ -231,8 +251,8 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                   file=log_stream, flush=True)
         for j, r in enumerate(group):
             n = r["mask"].shape[1]
-            emit(_encode_response(pred[:, j, :n], server.k, r["encoding"]))
             ok += 1
+            emit(_encode_response(pred[:, j, :n], server.k, r["encoding"]))
 
     while True:
         timeout = max(0.0, deadline - time.monotonic()) if pending else None

@@ -197,6 +197,22 @@ def test_aggregation_preserves_order_with_mixed_requests(artifact, rng):
     )
 
 
+def test_stats_lines_report_counts_and_group_size(artifact, rng):
+    """--stats-every N: one operational line per N answered requests, with
+    cumulative ok/err and (under aggregation) the mean device-call group."""
+    good = json.dumps({"xy": _walk(rng, 1, 2)[0].tolist(), "seed": 0})
+    reqs = "\n".join([good, good, "{bad", good])
+    log = io.StringIO()
+    served = serve_lines(artifact, io.StringIO(reqs), io.StringIO(), log,
+                         aggregate=2, window_ms=20.0, stats_every=2)
+    assert served == 3
+    stats = [x for x in log.getvalue().splitlines() if x.startswith("stats:")]
+    assert len(stats) == 2  # 4 answered -> lines at 2 and 4
+    assert "answered=2 ok=2 err=0" in stats[0] and "mean_group=2.0" in stats[0]
+    assert "answered=4 ok=3 err=1" in stats[1]
+    assert "qps=" in stats[0]
+
+
 def test_cli_serve_subcommand(artifact, rng, monkeypatch, capsys):
     import sys
 
