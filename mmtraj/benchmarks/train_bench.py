@@ -80,13 +80,20 @@ def bench_train_step(
     profile_dir: Optional[str] = None,
     unroll: int = 1,
     remat_policy: str = "full",
+    attend_kernel: Optional[str] = None,
 ) -> TrainBenchResult:
-    """Time the config-4 (flagship) jitted train step at the given knobs."""
+    """Time the config-4 (flagship) jitted train step at the given knobs.
+
+    ``attend_kernel`` overrides ModelConfig.attend_kernel ("auto" routes the
+    score+softmax+aggregate chain through the Pallas kernel at N>=128 on
+    TPU; pass "xla" to pin the canonical chain for A/B at dense N).
+    """
     cfg = config4()
     cfg = cfg.replace(
         model=dataclasses.replace(
             cfg.model, dtype=dtype, remat=remat, scan_unroll=unroll,
             remat_policy=remat_policy,
+            **({"attend_kernel": attend_kernel} if attend_kernel else {}),
         ),
         train=dataclasses.replace(cfg.train, batch_size=batch_size),
     )
@@ -165,6 +172,11 @@ def main(argv=None) -> None:
     ap.add_argument("--unroll", type=int, default=1,
                     help="lax.scan unroll factor for the model's time loops")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--n-max", type=int, default=64,
+                    help="padded agent capacity (128/256 = dense crowds)")
+    ap.add_argument("--attend-kernel", default=None,
+                    choices=("auto", "xla", "pallas"),
+                    help="override ModelConfig.attend_kernel for A/B at dense N")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument(
         "--sweep",
@@ -180,7 +192,10 @@ def main(argv=None) -> None:
     )
     args = ap.parse_args(argv)
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind}  n_max=64 obs=8 pred=12 (config-4 model)")
+    print(f"device: {dev.device_kind}  n_max={args.n_max} obs=8 pred=12 "
+          f"(config-4 model"
+          + (f", attend_kernel={args.attend_kernel}" if args.attend_kernel else "")
+          + ")")
     if args.policy_sweep:
         for batch in (128, 256, 512, 1024):
             for dtype in ("bfloat16", "float32"):
@@ -214,9 +229,9 @@ def main(argv=None) -> None:
                         )
         return
     r = bench_train_step(
-        args.batch, args.dtype, not args.no_remat,
+        args.batch, args.dtype, not args.no_remat, n_max=args.n_max,
         iters=args.iters, profile_dir=args.profile, unroll=args.unroll,
-        remat_policy=args.remat_policy,
+        remat_policy=args.remat_policy, attend_kernel=args.attend_kernel,
     )
     print(_fmt(r))
     if args.profile:

@@ -83,13 +83,17 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
 
 
 def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask,
-          drop=None) -> Carry:
+          drop=None, train: bool = False) -> Carry:
     """Advance one frame: embed offset -> cell -> social GAT refinement.
 
     ``drop``: optional variational-dropout masks {"emb": (B,N,E), "gat":
     (B,N,H)}, pre-scaled by 1/keep.  Drawn ONCE per forward pass and reused
     every scan step (recurrent dropout a la Gal & Ghahramani) — so they are
     scan-carried constants, not per-step RNG.
+
+    ``train``: marks a differentiated path — gat_apply's "auto" attend
+    dispatch then stays on the XLA chain (the dense-N Pallas kernel wins
+    inference but loses the grad program; ARCHITECTURE.md pt 13).
     """
     dt = _compute_dtype(cfg)
     x = jax.nn.relu(dense(pp["embed"], dxy_n, dt))
@@ -101,6 +105,7 @@ def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask,
         g = gat_apply(
             pp["gat"], carry.h, adj, mask, cfg.num_heads, dt,
             use_pallas=cfg.use_pallas, attend_kernel=cfg.attend_kernel,
+            train=train,
         )
         if drop is not None:
             g = g * drop["gat"]
@@ -149,7 +154,7 @@ class Forecaster:
 
     # -- encoder ------------------------------------------------------------
     def encode(self, params: Params, xy_obs, mask, stats: NormStats,
-               drop=None) -> Carry:
+               drop=None, train: bool = False) -> Carry:
         """xy_obs (B, N, To, 2) absolute meters, mask (B, N) -> decoder-ready
         carry (bridged).  ``drop``: training-only variational-dropout masks
         (see _step)."""
@@ -164,7 +169,8 @@ class Forecaster:
 
         def body(carry, x):
             dxy_t, xy_t = x
-            return _step(params["enc"], cfg, carry, dxy_t, xy_t, mask, drop), None
+            return _step(params["enc"], cfg, carry, dxy_t, xy_t, mask, drop,
+                         train=train), None
 
         body = _maybe_remat(cfg, body)
         carry, _ = jax.lax.scan(body, carry0, xs, unroll=cfg.scan_unroll)
@@ -202,7 +208,8 @@ class Forecaster:
         def body(carry, x):
             dxy_t, xy_t = x
             out = self._head(params, carry.h)
-            carry = _step(params["dec"], cfg, carry, dxy_t, xy_t, mask, drop)
+            carry = _step(params["dec"], cfg, carry, dxy_t, xy_t, mask, drop,
+                          train=True)
             return carry, out
 
         body = _maybe_remat(cfg, body)
@@ -257,7 +264,8 @@ class Forecaster:
 
     # -- sampling decode (autoregressive rollout) ----------------------------
     def decode_rollout(self, params: Params, carry: Carry, xy_last, mask, stats, key,
-                       sigma_scale: float = 1.0, stream=None):
+                       sigma_scale: float = 1.0, stream=None,
+                       train: bool = False):
         """One sampled rollout -> absolute positions (B, N, Tp, 2), meters.
 
         Offsets are sampled from the head (GMM) or taken directly
@@ -293,7 +301,8 @@ class Forecaster:
             else:
                 dxy_n = out
             xy_new = xy + denormalize(dxy_n, stats)
-            carry = _step(params["dec"], cfg, carry, dxy_n, xy_new, mask)
+            carry = _step(params["dec"], cfg, carry, dxy_n, xy_new, mask,
+                          train=train)
             return (carry, xy_new), xy_new
 
         _, traj = jax.lax.scan(body, (carry, xy_last), xs, unroll=cfg.scan_unroll)
@@ -325,7 +334,7 @@ class Forecaster:
         drop_enc = drop_dec = None
         if key is not None and cfg.dropout > 0.0:
             drop_enc, drop_dec = _dropout_masks(key, cfg, *mask.shape)
-        carry = self.encode(params, xy_obs, mask, stats, drop_enc)
+        carry = self.encode(params, xy_obs, mask, stats, drop_enc, train=True)
         outs = self.decode_teacher(params, carry, xy_fut, dxy_fut_n, mask, drop_dec)
 
         if cfg.head == "gmm":
@@ -373,9 +382,9 @@ class Forecaster:
         drop_enc = None
         if drop_key is not None and cfg.dropout > 0.0:
             drop_enc, _ = _dropout_masks(drop_key, cfg, *mask.shape)
-        carry = self.encode(params, xy_obs, mask, stats, drop_enc)
+        carry = self.encode(params, xy_obs, mask, stats, drop_enc, train=True)
         preds = self.rollout_k(params, xy_obs, mask, stats, key, n_samples,
-                               carry=carry)  # (n, B, N, Tp, 2) meters
+                               carry=carry, train=True)  # (n, B, N, Tp, 2)
         sq = ((preds - gt[None]) ** 2).sum(-1)  # (n, B, N, Tp)
         err = sq.mean(-1)  # (n, B, N)
         if fde_weight > 0.0:
@@ -385,7 +394,8 @@ class Forecaster:
         return jnp.sum(best * w) / jnp.maximum(w.sum(), 1.0)
 
     def rollout_k(self, params: Params, xy_obs, mask, stats: NormStats, key, k: int,
-                  carry: Carry = None, sigma_scale: float = 1.0, keys=None):
+                  carry: Carry = None, sigma_scale: float = 1.0, keys=None,
+                  train: bool = False):
         """K sampled rollouts, encode once -> (K, B, N, Tp, 2) absolute meters.
 
         The K modes are folded into the batch dimension (tile, decode once,
@@ -423,7 +433,8 @@ class Forecaster:
             traj = self._decode_fused(params, carry_k, xy_last, mask_k, stats, stream)
         else:
             traj = self.decode_rollout(
-                params, carry_k, xy_last, mask_k, stats, None, stream=stream
+                params, carry_k, xy_last, mask_k, stats, None, stream=stream,
+                train=train,
             )
         return traj.reshape((k, B) + traj.shape[1:])
 

@@ -42,6 +42,21 @@ def _attend_group(n: int, num_heads: int, hd: int) -> int:
     return min(8, 1 << (g.bit_length() - 1))  # floor to a power of two
 
 
+def _use_attend_kernel(attend_kernel: str, use_pallas: bool, n: int,
+                       train: bool) -> bool:
+    """The attend-chain dispatch rule (ARCHITECTURE.md pts 12-13): "auto"
+    routes through the Pallas kernel only at lane-filling N on TPU AND on
+    non-differentiated paths (the kernel wins rollout 1.4-3.5x at N>=128 but
+    the grad program measured 13-14% slower); explicit pins always apply."""
+    if attend_kernel not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown attend_kernel {attend_kernel!r}")
+    return not use_pallas and (
+        attend_kernel == "pallas"
+        or (attend_kernel == "auto" and n >= 128 and not train
+            and jax.default_backend() == "tpu")
+    )
+
+
 def gat_apply(
     p: Params,
     h: jnp.ndarray,
@@ -51,6 +66,7 @@ def gat_apply(
     dtype=None,
     use_pallas: bool = False,
     attend_kernel: str = "auto",
+    train: bool = False,
 ) -> jnp.ndarray:
     """h (B, N, D), adj (B, N, N) bool, mask (B, N) bool -> (B, N, dout).
 
@@ -68,6 +84,13 @@ def gat_apply(
     (N >= 128, measured 1.4-3.5x over the XLA chain; ARCHITECTURE.md pt 12)
     and XLA otherwise; "xla"/"pallas" pin it.  Backward is always XLA
     autodiff of the identical math (custom_vjp).
+
+    ``train=True`` marks a differentiated path: "auto" then stays on the
+    XLA chain even at dense N — the grad program (custom_vjp backward +
+    remat forward replay around the kernel boundary) measured 13-14%
+    SLOWER with the kernel at N=128/256 (train_bench --attend-kernel A/B,
+    ARCHITECTURE.md pt 13), while the inference win stands.  An explicit
+    "pallas" pin still applies everywhere.
     """
     from mmtraj.ops.fused_gat import fused_gat, gat_math
 
@@ -75,13 +98,7 @@ def gat_apply(
     eye = jnp.eye(N, dtype=bool)
     attend = adj | (eye[None] & mask[:, None, :] & mask[:, :, None])  # (B, N, N)
     hin = h.astype(dtype) if dtype is not None else h
-    if attend_kernel not in ("auto", "xla", "pallas"):
-        raise ValueError(f"unknown attend_kernel {attend_kernel!r}")
-    use_attend = not use_pallas and (
-        attend_kernel == "pallas"
-        or (attend_kernel == "auto" and N >= 128
-            and jax.default_backend() == "tpu")
-    )
+    use_attend = _use_attend_kernel(attend_kernel, use_pallas, N, train)
     if use_attend:
         from mmtraj.ops.fused_attend import attend_pallas
         from mmtraj.ops.fused_gat import _block_diag

@@ -107,6 +107,25 @@ def test_attend_kernel_dispatch_and_equivalence(rng):
         gat_apply(p, h, adj, mask, H, attend_kernel="cuda")
 
 
+def test_attend_dispatch_rule_is_inference_only(monkeypatch):
+    """"auto" engages the kernel only at N>=128 on TPU on NON-train paths
+    (train_bench A/B: the grad program is 13-14% slower through the kernel
+    at dense N — ARCHITECTURE.md pt 13); explicit pins apply everywhere."""
+    import jax as _jax
+
+    from mmtraj.models.gat import _use_attend_kernel
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert _use_attend_kernel("auto", False, 128, train=False)
+    assert not _use_attend_kernel("auto", False, 128, train=True)
+    assert not _use_attend_kernel("auto", False, 64, train=False)
+    assert _use_attend_kernel("pallas", False, 64, train=True)  # pin wins
+    assert not _use_attend_kernel("xla", False, 256, train=False)
+    assert not _use_attend_kernel("auto", True, 256, train=False)  # fused-GAT path
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    assert not _use_attend_kernel("auto", False, 256, train=False)
+
+
 def test_attend_kernel_grads_match(rng):
     """The pallas attend path's custom_vjp backward (XLA autodiff of the
     identical math) must match the canonical chain's gradients."""
