@@ -383,8 +383,14 @@ class Forecaster:
         if drop_key is not None and cfg.dropout > 0.0:
             drop_enc, _ = _dropout_masks(drop_key, cfg, *mask.shape)
         carry = self.encode(params, xy_obs, mask, stats, drop_enc, train=True)
+        # The sampled rollout keeps INFERENCE dispatch (train=False) even
+        # though it is differentiated: at dense N the attend kernel wins the
+        # variety grad program by ~40% (its decode runs n_samples*B rows,
+        # amortizing the custom_vjp boundary), while the teacher-forced /
+        # encoder structure above loses with it — measured A/B in
+        # ARCHITECTURE.md pt 13.
         preds = self.rollout_k(params, xy_obs, mask, stats, key, n_samples,
-                               carry=carry, train=True)  # (n, B, N, Tp, 2)
+                               carry=carry)  # (n, B, N, Tp, 2) meters
         sq = ((preds - gt[None]) ** 2).sum(-1)  # (n, B, N, Tp)
         err = sq.mean(-1)  # (n, B, N)
         if fde_weight > 0.0:
