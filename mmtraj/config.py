@@ -46,8 +46,12 @@ class ModelConfig:
     # (mmtraj/ops/fused_attend.py): "auto" (default) uses the Pallas kernel
     # on TPU when the graph is lane-filling (N >= 128) where it measured
     # 1.4-3.5x faster than the XLA chain, and the XLA chain otherwise
-    # (N=64 flagship shapes, where XLA wins — ARCHITECTURE.md pt 12);
-    # "xla"/"pallas" pin a backend.
+    # (N=64 flagship shapes, where XLA wins — ARCHITECTURE.md pt 12).
+    # "auto" is also per-path: encoder/teacher-forced training paths stay
+    # XLA at every N (the kernel loses those grad programs 13-14%) while
+    # rollout decodes keep the kernel — including the differentiated one
+    # inside loss_variety, where it wins 41% (ARCHITECTURE.md pt 13).
+    # "xla"/"pallas" pin a backend everywhere.
     attend_kernel: str = "auto"
     # Opt-in fully-fused Pallas rollout decoder (whole 12-step loop in one
     # kernel, mmtraj/ops/fused_decoder.py).  GRU+social+GMM only; consumes the
