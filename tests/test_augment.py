@@ -102,6 +102,7 @@ def test_dropout_zero_is_identity_even_with_key():
     assert float(la) == float(lb)
 
 
+@pytest.mark.slow
 def test_train_step_with_augment_and_dropout_descends():
     """60 steps with rotation+flip+dropout on: loss must clearly descend and
     stay finite (the full jitted path incl. fold_in-per-step RNG)."""

@@ -203,6 +203,7 @@ def test_keras_lstm_cell_semantics(keras):
 
 
 @pytest.mark.parametrize("cell", ["gru", "lstm"])
+@pytest.mark.slow
 def test_keras_h5_roundtrip_forward_parity(cell, tmp_path):
     """mmtraj params -> legacy save_weights .h5 -> import: the full model
     forward must be identical (the Keras twin of the fabricated-.pt test)."""
@@ -268,6 +269,7 @@ def test_keras_missing_layer_is_one_line_diagnosis():
         import_keras_weights({}, cfg)
 
 
+@pytest.mark.slow
 def test_keras_reset_after_false_full_model_runs():
     """A forecaster whose cells carry the reset_after=False wh_n params must
     run the full loss + rollout paths (the import-only cell variant threads

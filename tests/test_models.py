@@ -143,6 +143,7 @@ def test_rollout_modes_requires_gmm(rng):
         model.rollout_modes(params, xy[:, :, :OBS], mask, _stats())
 
 
+@pytest.mark.slow
 def test_scan_unroll_trajectory_exact(rng):
     """unroll is a scheduling knob: any factor (divisible or not, or full
     unroll) must produce bit-identical losses and trajectories."""
@@ -223,6 +224,7 @@ def test_loss_jits_and_is_reproducible(rng):
     np.testing.assert_allclose(float(f(params, xy, mask)), float(f(params, xy, mask)))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(rng):
     """jax.checkpoint on the scan bodies changes scheduling, not math: loss
     and gradients must match the non-remat model under EVERY policy."""
@@ -305,6 +307,7 @@ def test_loss_variety_fde_weight_formula_pinned(rng):
     assert lv > plain  # the FDE term is nonnegative and a.s. positive
 
 
+@pytest.mark.slow
 def test_loss_variety_grads_flow(rng):
     """WTA gradients reach every parameter group (through the sampled
     reparameterized rollout and the decoder recurrence)."""

@@ -20,6 +20,9 @@ from mmtraj.export import export_predictor, load_predictor
 from mmtraj.models.forecaster import Forecaster
 from mmtraj.serve import PredictServer, serve_lines
 
+
+pytestmark = pytest.mark.slow  # exports + compiles artifacts; quick subset: -m "not slow"
+
 B_CAP, N_CAP, K = 4, 8, 3
 
 
