@@ -148,6 +148,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="evaluate checkpoint_ema.npz instead of checkpoint.npz")
     lp.add_argument("--seed", type=int, default=0, help="eval sampling seed")
     lp.add_argument("--oversample", type=int, default=1)
+    lp.add_argument("--ensemble", action="store_true",
+                    help="pool each fold's per-seed checkpoints into one "
+                         "deep ensemble: all seeds' rollouts become the "
+                         "candidate pool and endpoint-diverse selection "
+                         "submits K, so the protocol stays best-of-K "
+                         "(one row per scene instead of mean±std)")
     lp.add_argument("--sigma-scale", type=float, default=1.0)
     lp.add_argument("--reduction", default="per_agent",
                     choices=("per_agent", "per_window"))
@@ -566,9 +572,12 @@ def main(argv=None) -> int:
                 if d.startswith("s") and d[1:].isdigit()
             )
             seeds = sdirs or [None]
+        if args.ensemble and len(seeds) < 2:
+            parser.error("--ensemble needs a multi-seed tree (s{seed}/ dirs)")
         per_scene = {}
         for scene in SCENES:
             ds = None  # seeds share a fold's data config; parse it once
+            members = []  # --ensemble: pool the fold's per-seed params
             for seed in seeds:
                 sub = f"s{seed}/{scene}" if seed is not None else scene
                 path = os.path.join(args.loo_dir, sub, name)
@@ -577,6 +586,9 @@ def main(argv=None) -> int:
                 if ds is None:
                     ds, _ = _load_eval_dataset(cfg, False, "the metric population")
                 model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+                if args.ensemble:
+                    members.append(ck.params)
+                    continue
                 m = evaluate(model, ck.params, ck.stats, ds,
                              cfg.train.k_samples, seed=args.seed,
                              reduction=args.reduction, rollout=args.rollout,
@@ -588,9 +600,25 @@ def main(argv=None) -> int:
                 tag = f"seed={seed} " if seed is not None else ""
                 print(f"{tag}scene={scene}: ADE={m['min_ade']:.4f} "
                       f"FDE={m['min_fde']:.4f}", flush=True)
+            if args.ensemble:
+                # Norm stats are a deterministic function of the fold's
+                # training data, so every seed's checkpoint carries the same
+                # ones; the last ck's stats stand for the fold.
+                m = evaluate(model, members, ck.stats, ds,
+                             cfg.train.k_samples, seed=args.seed,
+                             reduction=args.reduction, rollout=args.rollout,
+                             sigma_scale=args.sigma_scale,
+                             oversample=args.oversample)
+                per_scene.setdefault(scene, []).append(
+                    (m["min_ade"], m["min_fde"])
+                )
+                print(f"ensemble[{len(members)}] scene={scene}: "
+                      f"ADE={m['min_ade']:.4f} FDE={m['min_fde']:.4f}",
+                      flush=True)
         k = m["k"]
         extras = "".join(
-            f" {key}={m[key]}" for key in ("oversample", "sigma_scale", "rollout")
+            f" {key}={m[key]}"
+            for key in ("oversample", "sigma_scale", "rollout", "ensemble")
             if key in m
         )
         print(f"\nleave-one-out eval (best-of-{k}, {args.reduction}{extras}"
@@ -603,11 +631,14 @@ def main(argv=None) -> int:
             avg_a.append(a.mean())
             avg_f.append(f.mean())
             # Sample std (ddof=1) to match the train --seeds tables
-            # (statistics.stdev); one convention for one experiment.
-            sa = a.std(ddof=1) if len(a) > 1 else 0.0
-            sf = f.std(ddof=1) if len(f) > 1 else 0.0
-            print(f"{scene:8s} {a.mean():8.4f}±{sa:6.4f} "
-                  f"{f.mean():8.4f}±{sf:6.4f}")
+            # (statistics.stdev); one convention for one experiment.  A
+            # single row per scene (--ensemble) has no spread to report.
+            if len(a) > 1:
+                print(f"{scene:8s} {a.mean():8.4f}±{a.std(ddof=1):6.4f} "
+                      f"{f.mean():8.4f}±{f.std(ddof=1):6.4f}")
+            else:
+                print(f"{scene:8s} {a.mean():8.4f}        "
+                      f"{f.mean():8.4f}")
         print(f"{'AVG':8s} {np.mean(avg_a):8.4f}        "
               f"{np.mean(avg_f):8.4f}")
         return 0

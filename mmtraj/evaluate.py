@@ -131,7 +131,7 @@ def autotune_eval_batch(model: Forecaster, params, stats: NormStats,
 @functools.lru_cache(maxsize=32)
 def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent",
                sigma_scale: float = 1.0, rollout: str = "sample",
-               oversample: int = 1):
+               oversample: int = 1, ensemble: int = 1):
     """Jittable per-batch evaluator -> PER-WINDOW masked error sums + counts.
 
     Cached per (model, k, mesh, reduction): periodic eval during training must
@@ -158,6 +158,21 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
       (the common "best-of-20" protocol);
     * ``per_window`` — one joint k chosen per window (min over K of the
       window's masked-mean error), mean over windows.
+
+    ``ensemble`` > 1 pools candidates from M independently trained models
+    (deep ensemble): ``params`` then carries a leading stacked member axis,
+    member m samples from fold_in(fold_in(seed_key, m), w) — still a pure
+    function of (seed, member, window) — and the submitted set stays K via
+    the same endpoint-diverse selection oversampling uses, so the protocol
+    remains best-of-K.  The reported NLL is the deep-ensemble predictive
+    NLL (per-step mixture over members: -logsumexp(-nll_m) + log M).
+
+    Invariance caveat (TPU): batch-size invariance is bit-exact on CPU (one
+    compiled program), but on TPU different batch sizes compile different
+    physical tilings whose ~1-ulp rollout differences can flip a discrete
+    diverse-selection pick under the member-vmapped program — measured
+    ≤3e-4 FDE drift at tiny shapes, far below the ±1.4e-3 seed spread.
+    Pin ``batch_size`` when bit-stability across runs matters.
     """
 
     # Inference-only program: fully unroll the 8/12-step time loops.  The
@@ -177,23 +192,50 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
         stats = NormStats(stats_mean, stats_std)
         obs = xy[:, :, : model.obs_len]
         gt = xy[:, :, model.obs_len :]
-        carry = model.encode(params, obs, mask, stats)  # shared: rollout + NLL
-        if rollout == "modes":
-            # Deterministic best-of-M over the mixture components (the
-            # alternative multimodal protocol — forecaster.rollout_modes).
-            preds = model.rollout_modes(params, obs, mask, stats, carry=carry)
+        nll_m = None  # set by the ensemble branch (per-member NLL)
+        if ensemble > 1:
+            # Deep ensemble: params carries a stacked member axis; each
+            # member encodes + rolls out its own R candidates with a
+            # member-distinct per-window stream, and the pool reduces to K
+            # submitted samples via endpoint-diverse selection below.
+            def member(p, m):
+                carry = model.encode(p, obs, mask, stats)
+                mkey = jax.random.fold_in(key, m)
+                keys = jax.vmap(lambda i: jax.random.fold_in(mkey, i))(win_idx)
+                preds = model.rollout_k(p, obs, mask, stats, None,
+                                        k * oversample, carry=carry,
+                                        sigma_scale=sigma_scale, keys=keys)
+                from mmtraj.data.transforms import normalize, to_relative
+
+                dxy_n = normalize(to_relative(xy), stats)[:, :, model.obs_len:]
+                outs = model.decode_teacher(p, carry, gt, dxy_n, mask)
+                return preds, gmm_nll(outs, dxy_n)
+
+            preds_m, nll_m = jax.vmap(member)(
+                params, jnp.arange(ensemble, dtype=jnp.uint32)
+            )  # (M, R, B, N, Tp, 2), (M, B, N, Tp)
+            # Collision stays a joint-sample metric: member 0's first K raw
+            # rollouts keep the pairing (mirrors the oversample path).
+            joint_k = preds_m[0, :k]
+            preds = preds_m.reshape((-1,) + preds_m.shape[2:])
         else:
-            # Per-window keys: window w's samples are fold_in(seed_key, w)
-            # regardless of which batch it landed in.
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(win_idx)
-            preds = model.rollout_k(params, obs, mask, stats, None,
-                                    k * oversample, carry=carry,
-                                    sigma_scale=sigma_scale, keys=keys)
-        # Collision is defined between agents OF THE SAME JOINT SAMPLE
-        # (metrics.py); per-agent diverse selection destroys that pairing,
-        # so measure it on the first K raw (still-joint) rollouts.
-        joint_k = preds[:k]
-        if rollout != "modes" and oversample > 1:
+            carry = model.encode(params, obs, mask, stats)  # rollout + NLL
+            if rollout == "modes":
+                # Deterministic best-of-M over the mixture components (the
+                # alternative multimodal protocol — forecaster.rollout_modes).
+                preds = model.rollout_modes(params, obs, mask, stats, carry=carry)
+            else:
+                # Per-window keys: window w's samples are fold_in(seed_key, w)
+                # regardless of which batch it landed in.
+                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(win_idx)
+                preds = model.rollout_k(params, obs, mask, stats, None,
+                                        k * oversample, carry=carry,
+                                        sigma_scale=sigma_scale, keys=keys)
+            # Collision is defined between agents OF THE SAME JOINT SAMPLE
+            # (metrics.py); per-agent diverse selection destroys that pairing,
+            # so measure it on the first K raw (still-joint) rollouts.
+            joint_k = preds[:k]
+        if rollout != "modes" and preds.shape[0] > k:
             if reduction == "per_window":
                 # Joint selection: each window keeps K whole joint samples,
                 # preserving the joint-sample semantics per_window scores.
@@ -202,7 +244,7 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
                 preds = diverse_select_joint(preds, mask, k)
             else:
                 # Sample-and-select: keep the K most endpoint-diverse of the
-                # R=oversample*K candidates per agent (models/sampling.py).
+                # R candidates per agent (models/sampling.py).
                 from mmtraj.models.sampling import diverse_select
 
                 preds = diverse_select(preds, k)
@@ -227,7 +269,15 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
         # Predictive NLL of the ground-truth future under the (teacher-forced)
         # per-step mixture — the probabilistic-quality metric; 0 for
         # deterministic heads.
-        if model.cfg.head == "gmm":
+        if nll_m is not None:
+            # Deep-ensemble predictive NLL: the predictive distribution is
+            # the uniform mixture over members, so per step
+            # nll = -log(mean_m exp(-nll_m)) = -logsumexp(-nll_m) + log M.
+            per_step = -jax.nn.logsumexp(-nll_m, axis=0) + jnp.log(
+                jnp.float32(ensemble)
+            )  # (B, N, Tp)
+            nll_pw = (per_step.mean(axis=-1) * m).sum(axis=1)
+        elif model.cfg.head == "gmm":
             from mmtraj.data.transforms import normalize, to_relative
 
             dxy_n = normalize(to_relative(xy), stats)[:, :, model.obs_len:]
@@ -273,6 +323,11 @@ def evaluate(
     ``mesh``: optional jax Mesh; shards each eval batch over its 'data' axis
     (batch_size is rounded up to a multiple of the mesh size).
     ``reduction``: "per_agent" (default) or "per_window" — see _eval_sums.
+    ``params`` may be a list/tuple of M same-architecture parameter trees
+    (e.g. the per-seed checkpoints of one fold): the models evaluate as a
+    deep ensemble — all M*K*oversample candidate rollouts pool per window
+    and endpoint-diverse selection submits K, so the protocol stays
+    best-of-K (see _eval_sums; requires the sampled GMM rollout).
 
     If the dataset dropped agents at collation (windows over ``n_max``), the
     metrics dict reports ``n_dropped`` and a warning is emitted: a silently
@@ -284,6 +339,22 @@ def evaluate(
         raise ValueError(f"unknown rollout {rollout!r}")
     if oversample < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
+    ensemble = 1
+    if isinstance(params, (list, tuple)):
+        if len(params) == 0:
+            raise ValueError("empty ensemble")
+        if len(params) == 1:
+            params = params[0]  # ensemble of one == the plain protocol
+        else:
+            ensemble = len(params)
+            if model.cfg.head != "gmm" or rollout != "sample":
+                # The pool must reduce to K submitted samples via diverse
+                # selection, which needs distinct sampled candidates.
+                raise ValueError(
+                    "ensemble evaluation requires sampled GMM rollouts")
+            params = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params
+            )
     if sigma_scale != 1.0 and (rollout == "modes" or model.cfg.head != "gmm"):
         # Tempering scales GMM sampling noise; the mode decode and
         # deterministic heads never sample, so a non-1 value would stamp
@@ -303,8 +374,8 @@ def evaluate(
         raise ValueError("oversample requires the sampling (GMM) head")
     if batch_size is None:
         # The rollout working set scales with the sampled rows — R =
-        # oversample*K of them when sample-and-select is on.
-        batch_size = vmem_friendly_batch(k * oversample, test_ds.n_max,
+        # ensemble*oversample*K of them when pooling is on.
+        batch_size = vmem_friendly_batch(k * oversample * ensemble, test_ds.n_max,
                                          bytes_per_elem=_model_bytes_per_elem(model))
     # sigma_scale != 1 tempers the GMM sampling (forecaster.decode_rollout);
     # reported alongside the metrics so tempered numbers can't masquerade as
@@ -323,7 +394,7 @@ def evaluate(
     if mesh is not None:
         batch_size += (-batch_size) % mesh.size
     fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale), rollout,
-                    int(oversample))
+                    int(oversample), int(ensemble))
     key = jax.random.PRNGKey(seed)  # constant; per-window keys fold in w
     n = len(test_ds)
     mean = jnp.asarray(stats.mean)
@@ -373,4 +444,5 @@ def evaluate(
         **({"sigma_scale": float(sigma_scale)} if sigma_scale != 1.0 else {}),
         **({"rollout": rollout} if rollout != "sample" else {}),
         **({"oversample": int(oversample)} if oversample > 1 else {}),
+        **({"ensemble": int(ensemble)} if ensemble > 1 else {}),
     }

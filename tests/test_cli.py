@@ -172,6 +172,19 @@ def test_eval_loo_cli(loo_tree, capsys):
     assert out_txt.count("±") >= 10  # 5 scenes x 2 cols over 2 seeds
 
 
+def test_eval_loo_ensemble_cli(loo_tree, capsys):
+    """--ensemble pools the tree's per-seed checkpoints per fold (one deep-
+    ensemble row per scene, tagged in the header, protocol still best-of-K)."""
+    out, _ = loo_tree
+    capsys.readouterr()
+    assert main(["eval-loo", "--loo-dir", out, "--ensemble"]) == 0
+    out_txt = capsys.readouterr().out
+    assert "ensemble[2] scene=eth:" in out_txt
+    assert "leave-one-out eval (best-of-2, per_agent ensemble=2" in out_txt
+    for scene in ("eth", "hotel", "univ", "zara1", "zara2", "AVG"):
+        assert scene in out_txt
+
+
 def test_predict_cli_oversample(synth_dir, ck3, tmp_path, capsys):
     npz = str(tmp_path / "p_os.npz")
     assert main([

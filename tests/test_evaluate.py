@@ -229,3 +229,71 @@ def test_autotune_eval_batch_smoke(setup):
     best = autotune_eval_batch(model, params, stats, n_max=8, k=2, iters=2,
                                candidates=[2, 4], verbose=False)
     assert best in (2, 4)
+
+
+def test_ensemble_of_one_equals_plain(setup):
+    """A 1-member 'ensemble' routes through the plain path bit-exactly."""
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 4), n_max=8)
+    m1 = evaluate(model, params, stats, ds, k=3, seed=0)
+    me = evaluate(model, [params], stats, ds, k=3, seed=0)
+    assert "ensemble" not in me
+    for key in ("min_ade", "min_fde", "miss_rate_2m", "nll"):
+        assert m1[key] == me[key], key
+
+
+def test_ensemble_pools_members_and_is_batch_invariant(setup):
+    """Deep-ensemble eval: tagged, still best-of-K, exactly batch-size
+    invariant, and actually pooling (differs from each member alone and
+    from a self-ensemble of one member duplicated)."""
+    rng, model, params, stats = setup
+    params_b = model.init(jax.random.PRNGKey(7))  # a second 'seed'
+    ds = WindowDataset(_windows(rng, 6), n_max=8)
+    me = evaluate(model, [params, params_b], stats, ds, k=3,
+                  batch_size=6, seed=0)
+    assert me["ensemble"] == 2 and me["k"] == 3
+    assert np.isfinite(me["min_ade"]) and me["min_ade"] > 0
+    me2 = evaluate(model, [params, params_b], stats, ds, k=3,
+                   batch_size=4, seed=0)
+    for key in ("min_ade", "min_fde", "miss_rate_2m", "collision_rate"):
+        assert me[key] == me2[key], key
+    np.testing.assert_allclose(me["nll"], me2["nll"], rtol=1e-6)
+    ma = evaluate(model, params, stats, ds, k=3, batch_size=6, seed=0)
+    mb = evaluate(model, params_b, stats, ds, k=3, batch_size=6, seed=0)
+    assert me["min_ade"] not in (ma["min_ade"], mb["min_ade"])
+    # Per step the 2-member mixture NLL sits in [min_m nll_m, min_m nll_m
+    # + log 2]; aggregation preserves only the upper bound against the best
+    # member's aggregate (the pointwise min can undercut both aggregates).
+    best = min(ma["nll"], mb["nll"])
+    assert me["nll"] <= best + np.log(2.0) + 1e-6
+    assert np.isfinite(me["nll"])
+
+
+def test_ensemble_composes_with_oversample_and_per_window(setup):
+    rng, model, params, stats = setup
+    params_b = model.init(jax.random.PRNGKey(11))
+    ds = WindowDataset(_windows(rng, 5), n_max=8)
+    mo = evaluate(model, [params, params_b], stats, ds, k=3, seed=0,
+                  oversample=2)
+    assert mo["ensemble"] == 2 and mo["oversample"] == 2 and mo["k"] == 3
+    assert np.isfinite(mo["min_ade"]) and mo["min_ade"] > 0
+    mw = evaluate(model, [params, params_b], stats, ds, k=3, seed=0,
+                  reduction="per_window")
+    assert mw["ensemble"] == 2 and mw["reduction"] == "per_window"
+    assert np.isfinite(mw["min_ade"]) and mw["min_ade"] > 0
+
+
+def test_ensemble_requires_sampled_gmm(setup):
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 2), n_max=8)
+    with pytest.raises(ValueError, match="ensemble"):
+        evaluate(model, [params, params], stats, ds, k=2, rollout="modes")
+    from mmtraj.config import ModelConfig
+    from mmtraj.models.forecaster import Forecaster
+
+    det = Forecaster(ModelConfig(head="deterministic"), 4, 3)
+    dp = det.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="ensemble"):
+        evaluate(det, [dp, dp], stats, ds, k=2)
+    with pytest.raises(ValueError, match="empty"):
+        evaluate(model, [], stats, ds, k=2)
