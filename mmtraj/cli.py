@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="sample R=oversample*K rollouts and keep the K most "
                          "endpoint-diverse per agent (sample-and-select; "
                          "1 = plain i.i.d. K, the default protocol)")
+    ep.add_argument("--tta", type=int, default=1,
+                    help="pool candidates from N orthogonal test-time-"
+                         "augmentation views (rotations + reflections; a "
+                         "weight-shared pseudo-ensemble) then select back "
+                         "to K; 1 = none, the default protocol")
     ep.add_argument("--rollout", default="sample", choices=("sample", "modes"),
                     help="'sample': K sampled rollouts (protocol); 'modes': "
                          "one deterministic trajectory per mixture component "
@@ -148,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="evaluate checkpoint_ema.npz instead of checkpoint.npz")
     lp.add_argument("--seed", type=int, default=0, help="eval sampling seed")
     lp.add_argument("--oversample", type=int, default=1)
+    lp.add_argument("--tta", type=int, default=1,
+                    help="orthogonal test-time-augmentation views per member "
+                         "(see eval --tta)")
     lp.add_argument("--ensemble", action="store_true",
                     help="pool each fold's per-seed checkpoints into one "
                          "deep ensemble: all seeds' rollouts become the "
@@ -522,7 +530,7 @@ def main(argv=None) -> int:
         m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size,
                      args.seed, mesh=mesh, reduction=args.reduction,
                      sigma_scale=args.sigma_scale, rollout=args.rollout,
-                     oversample=args.oversample)
+                     oversample=args.oversample, tta=args.tta)
         red = m["reduction"] + (", modes" if args.rollout == "modes" else "")
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
@@ -593,7 +601,7 @@ def main(argv=None) -> int:
                              cfg.train.k_samples, seed=args.seed,
                              reduction=args.reduction, rollout=args.rollout,
                              sigma_scale=args.sigma_scale,
-                             oversample=args.oversample)
+                             oversample=args.oversample, tta=args.tta)
                 per_scene.setdefault(scene, []).append(
                     (m["min_ade"], m["min_fde"])
                 )
@@ -608,7 +616,7 @@ def main(argv=None) -> int:
                              cfg.train.k_samples, seed=args.seed,
                              reduction=args.reduction, rollout=args.rollout,
                              sigma_scale=args.sigma_scale,
-                             oversample=args.oversample)
+                             oversample=args.oversample, tta=args.tta)
                 per_scene.setdefault(scene, []).append(
                     (m["min_ade"], m["min_fde"])
                 )
@@ -618,7 +626,8 @@ def main(argv=None) -> int:
         k = m["k"]
         extras = "".join(
             f" {key}={m[key]}"
-            for key in ("oversample", "sigma_scale", "rollout", "ensemble")
+            for key in ("oversample", "tta", "sigma_scale", "rollout",
+                        "ensemble")
             if key in m
         )
         print(f"\nleave-one-out eval (best-of-{k}, {args.reduction}{extras}"

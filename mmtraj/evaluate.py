@@ -128,10 +128,26 @@ def autotune_eval_batch(model: Forecaster, params, stats: NormStats,
     return int(best_b)
 
 
+def _tta_mats(tta: int):
+    """The ``tta`` orthogonal view matrices: ceil(tta/2) rotations evenly
+    spaced over [0, 2pi), then the same rotations composed with a
+    y-reflection.  View 0 is the exact identity (the plain protocol)."""
+    import math
+
+    n_rot = (tta + 1) // 2
+    mats = []
+    for t in range(tta):
+        a = 2.0 * math.pi * (t % n_rot) / n_rot
+        c, s = math.cos(a), math.sin(a)
+        mats.append(((c, -s), (s, c)) if t < n_rot
+                    else ((c, -s), (-s, -c)))  # y-flip after the rotation
+    return mats
+
+
 @functools.lru_cache(maxsize=32)
 def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent",
                sigma_scale: float = 1.0, rollout: str = "sample",
-               oversample: int = 1, ensemble: int = 1):
+               oversample: int = 1, ensemble: int = 1, tta: int = 1):
     """Jittable per-batch evaluator -> PER-WINDOW masked error sums + counts.
 
     Cached per (model, k, mesh, reduction): periodic eval during training must
@@ -167,6 +183,16 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
     remains best-of-K.  The reported NLL is the deep-ensemble predictive
     NLL (per-step mixture over members: -logsumexp(-nll_m) + log M).
 
+    ``tta`` > 1 pools candidates from orthogonal test-time-augmentation
+    views (`_tta_mats`): view t rolls out on R_t-transformed world coords
+    and maps samples back through R_t^-1.  Distances — hence the social
+    graph — are exactly invariant, and training augments with arbitrary
+    rotations/flips of the raw coords (data/transforms.py augment_windows),
+    so each view is an in-distribution, slightly-different predictor: a
+    weight-shared pseudo-ensemble whose value comes from the model's
+    *imperfect* equivariance.  Composes with ensemble and oversample; the
+    pool again reduces to K submitted samples via diverse selection.
+
     Invariance caveat (TPU): batch-size invariance is bit-exact on CPU (one
     compiled program), but on TPU different batch sizes compile different
     physical tilings whose ~1-ulp rollout differences can flip a discrete
@@ -192,19 +218,40 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
         stats = NormStats(stats_mean, stats_std)
         obs = xy[:, :, : model.obs_len]
         gt = xy[:, :, model.obs_len :]
+        def candidates(p, base_key):
+            """All of one member's tta*oversample*k sampled candidates
+            (view 0 first, so [:k] stays the plain identity joint set),
+            plus the identity encoder carry for the NLL."""
+            carry0 = model.encode(p, obs, mask, stats)
+            outs = []
+            for t in range(tta):
+                if t == 0:
+                    key_t, obs_t, carry_t = base_key, obs, carry0
+                else:
+                    R = jnp.asarray(_tta_mats(tta)[t], jnp.float32)
+                    key_t = jax.random.fold_in(base_key, t)
+                    obs_t = jnp.einsum("ij,bntj->bnti", R, obs)
+                    carry_t = model.encode(p, obs_t, mask, stats)
+                keys = jax.vmap(lambda i: jax.random.fold_in(key_t, i))(win_idx)
+                pr = model.rollout_k(p, obs_t, mask, stats, None,
+                                     k * oversample, carry=carry_t,
+                                     sigma_scale=sigma_scale, keys=keys)
+                if t > 0:
+                    # R is orthogonal: the inverse map is its transpose.
+                    R = jnp.asarray(_tta_mats(tta)[t], jnp.float32)
+                    pr = jnp.einsum("ji,sbntj->sbnti", R, pr)
+                outs.append(pr)
+            pool = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+            return pool, carry0
+
         nll_m = None  # set by the ensemble branch (per-member NLL)
         if ensemble > 1:
             # Deep ensemble: params carries a stacked member axis; each
-            # member encodes + rolls out its own R candidates with a
-            # member-distinct per-window stream, and the pool reduces to K
-            # submitted samples via endpoint-diverse selection below.
+            # member rolls out its own candidates with a member-distinct
+            # per-window stream, and the pool reduces to K submitted
+            # samples via endpoint-diverse selection below.
             def member(p, m):
-                carry = model.encode(p, obs, mask, stats)
-                mkey = jax.random.fold_in(key, m)
-                keys = jax.vmap(lambda i: jax.random.fold_in(mkey, i))(win_idx)
-                preds = model.rollout_k(p, obs, mask, stats, None,
-                                        k * oversample, carry=carry,
-                                        sigma_scale=sigma_scale, keys=keys)
+                preds, carry = candidates(p, jax.random.fold_in(key, m))
                 from mmtraj.data.transforms import normalize, to_relative
 
                 dxy_n = normalize(to_relative(xy), stats)[:, :, model.obs_len:]
@@ -215,22 +262,19 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
                 params, jnp.arange(ensemble, dtype=jnp.uint32)
             )  # (M, R, B, N, Tp, 2), (M, B, N, Tp)
             # Collision stays a joint-sample metric: member 0's first K raw
-            # rollouts keep the pairing (mirrors the oversample path).
+            # identity rollouts keep the pairing (mirrors oversample).
             joint_k = preds_m[0, :k]
             preds = preds_m.reshape((-1,) + preds_m.shape[2:])
         else:
-            carry = model.encode(params, obs, mask, stats)  # rollout + NLL
             if rollout == "modes":
                 # Deterministic best-of-M over the mixture components (the
                 # alternative multimodal protocol — forecaster.rollout_modes).
+                carry = model.encode(params, obs, mask, stats)
                 preds = model.rollout_modes(params, obs, mask, stats, carry=carry)
             else:
                 # Per-window keys: window w's samples are fold_in(seed_key, w)
                 # regardless of which batch it landed in.
-                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(win_idx)
-                preds = model.rollout_k(params, obs, mask, stats, None,
-                                        k * oversample, carry=carry,
-                                        sigma_scale=sigma_scale, keys=keys)
+                preds, carry = candidates(params, key)
             # Collision is defined between agents OF THE SAME JOINT SAMPLE
             # (metrics.py); per-agent diverse selection destroys that pairing,
             # so measure it on the first K raw (still-joint) rollouts.
@@ -313,6 +357,7 @@ def evaluate(
     sigma_scale: float = 1.0,
     rollout: str = "sample",
     oversample: int = 1,
+    tta: int = 1,
 ) -> Dict[str, float]:
     """Full-test-set best-of-K ADE/FDE in world meters.
 
@@ -328,6 +373,9 @@ def evaluate(
     deep ensemble — all M*K*oversample candidate rollouts pool per window
     and endpoint-diverse selection submits K, so the protocol stays
     best-of-K (see _eval_sums; requires the sampled GMM rollout).
+    ``tta``: number of orthogonal test-time-augmentation views to pool
+    candidates from (1 = none; see _eval_sums — same selection-back-to-K
+    protocol, requires the sampled GMM rollout).
 
     If the dataset dropped agents at collation (windows over ``n_max``), the
     metrics dict reports ``n_dropped`` and a warning is emitted: a silently
@@ -339,6 +387,12 @@ def evaluate(
         raise ValueError(f"unknown rollout {rollout!r}")
     if oversample < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
+    if tta < 1:
+        raise ValueError(f"tta must be >= 1, got {tta}")
+    if tta > 1 and (model.cfg.head != "gmm" or rollout != "sample"):
+        # The view pool must reduce back to K submitted samples via diverse
+        # selection over distinct sampled candidates.
+        raise ValueError("tta requires sampled GMM rollouts")
     ensemble = 1
     if isinstance(params, (list, tuple)):
         if len(params) == 0:
@@ -374,8 +428,9 @@ def evaluate(
         raise ValueError("oversample requires the sampling (GMM) head")
     if batch_size is None:
         # The rollout working set scales with the sampled rows — R =
-        # ensemble*oversample*K of them when pooling is on.
-        batch_size = vmem_friendly_batch(k * oversample * ensemble, test_ds.n_max,
+        # ensemble*tta*oversample*K of them when pooling is on.
+        batch_size = vmem_friendly_batch(k * oversample * ensemble * tta,
+                                         test_ds.n_max,
                                          bytes_per_elem=_model_bytes_per_elem(model))
     # sigma_scale != 1 tempers the GMM sampling (forecaster.decode_rollout);
     # reported alongside the metrics so tempered numbers can't masquerade as
@@ -394,7 +449,7 @@ def evaluate(
     if mesh is not None:
         batch_size += (-batch_size) % mesh.size
     fn = _eval_sums(model, k, mesh, reduction, float(sigma_scale), rollout,
-                    int(oversample), int(ensemble))
+                    int(oversample), int(ensemble), int(tta))
     key = jax.random.PRNGKey(seed)  # constant; per-window keys fold in w
     n = len(test_ds)
     mean = jnp.asarray(stats.mean)
@@ -445,4 +500,5 @@ def evaluate(
         **({"rollout": rollout} if rollout != "sample" else {}),
         **({"oversample": int(oversample)} if oversample > 1 else {}),
         **({"ensemble": int(ensemble)} if ensemble > 1 else {}),
+        **({"tta": int(tta)} if tta > 1 else {}),
     }

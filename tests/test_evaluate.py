@@ -297,3 +297,52 @@ def test_ensemble_requires_sampled_gmm(setup):
         evaluate(det, [dp, dp], stats, ds, k=2)
     with pytest.raises(ValueError, match="empty"):
         evaluate(model, [], stats, ds, k=2)
+
+
+def test_tta_mats_are_orthogonal_views():
+    from mmtraj.evaluate import _tta_mats
+
+    for tta in (1, 2, 3, 4, 8):
+        mats = [np.array(m) for m in _tta_mats(tta)]
+        assert len(mats) == tta
+        np.testing.assert_array_equal(mats[0], np.eye(2))  # view 0 = plain
+        n_rot = (tta + 1) // 2
+        for t, m in enumerate(mats):
+            np.testing.assert_allclose(m @ m.T, np.eye(2), atol=1e-12)
+            want_det = 1.0 if t < n_rot else -1.0  # flips in the back half
+            np.testing.assert_allclose(np.linalg.det(m), want_det, atol=1e-12)
+        # All views distinct (the pool would waste candidates otherwise).
+        flat = {tuple(np.round(m, 9).ravel()) for m in mats}
+        assert len(flat) == tta
+
+
+def test_tta_pools_views(setup):
+    """TTA eval: tagged, still best-of-K, exactly batch invariant on CPU,
+    actually different from the plain protocol, composes with oversample
+    and ensemble."""
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 6), n_max=8)
+    m1 = evaluate(model, params, stats, ds, k=3, batch_size=6, seed=0)
+    mt = evaluate(model, params, stats, ds, k=3, batch_size=6, seed=0, tta=4)
+    assert mt["tta"] == 4 and mt["k"] == 3 and "tta" not in m1
+    assert np.isfinite(mt["min_ade"]) and mt["min_ade"] > 0
+    assert mt["min_fde"] != m1["min_fde"]  # the pool changed the K-set
+    # Teacher-forced NLL never touches the views.
+    np.testing.assert_allclose(mt["nll"], m1["nll"], rtol=1e-6)
+    mt2 = evaluate(model, params, stats, ds, k=3, batch_size=4, seed=0, tta=4)
+    for key in ("min_ade", "min_fde", "miss_rate_2m", "collision_rate"):
+        assert mt[key] == mt2[key], key
+    params_b = model.init(jax.random.PRNGKey(7))
+    mc = evaluate(model, [params, params_b], stats, ds, k=3, seed=0,
+                  tta=2, oversample=2)
+    assert mc["tta"] == 2 and mc["ensemble"] == 2 and mc["oversample"] == 2
+    assert np.isfinite(mc["min_ade"]) and mc["min_ade"] > 0
+
+
+def test_tta_requires_sampled_gmm(setup):
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 2), n_max=8)
+    with pytest.raises(ValueError, match="tta"):
+        evaluate(model, params, stats, ds, k=2, tta=0)
+    with pytest.raises(ValueError, match="tta"):
+        evaluate(model, params, stats, ds, k=2, tta=2, rollout="modes")
