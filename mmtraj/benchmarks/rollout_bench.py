@@ -71,40 +71,60 @@ def bench_rollout(n_max: int = 128, kernel: str = "auto", batch: int = 12,
     return rps
 
 
-def op_sweep(num_heads: int = 4, dh: int = 16, iters: int = 30) -> None:
-    """XLA attend chain vs the Pallas kernel across (N, B_eff, group)."""
+def op_sweep(num_heads: int = 4, dh: int = 16, iters: int = 200) -> None:
+    """XLA attend chain vs the Pallas kernel across (N, B_eff, group).
+
+    Timing runs the op INSIDE one jitted ``lax.scan`` with every input
+    perturbed per iteration and the full output consumed — the same
+    methodology as bench.py.  Both halves matter behind the tunnel: naive
+    ``block_until_ready`` loops return early here (>5x optimism, measured),
+    and loop-invariant operands let XLA hoist the whole softmax chain out
+    of the loop (the kernel, opaque to XLA, can't be hoisted — the round-3
+    first-pass table was skewed exactly that way; ARCHITECTURE.md pt 12).
+    """
     from mmtraj.ops.fused_attend import attend_math, attend_pallas
 
     def bench(fn, args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / iters
+        @jax.jit
+        def many(v, ss, sd, att):
+            def body(c, _):
+                out = fn(v + c * 1e-9, ss + c * 1e-9, sd + c * 1e-9, att)
+                return c + out.mean(), None
+            return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+
+        float(many(*args))  # compile
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            float(many(*args))
+            times.append(time.time() - t0)
+        return min(times) / iters
 
     H = num_heads
     for N in (64, 128, 256):
-        for B in (64, 256, 512, 1280):
+        for B in (256, 512, 1280):
             rng = np.random.default_rng(0)
             v = jnp.asarray(rng.normal(size=(B, N, H * dh)).astype(np.float32))
             ss = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
             sd = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
             att = jnp.asarray((rng.random((B, N, N)) > 0.3).astype(np.float32))
-            t_x = bench(jax.jit(lambda v, ss, sd, att: attend_math(v, ss, sd, att, H)),
+            t_x = bench(lambda v, ss, sd, att: attend_math(v, ss, sd, att, H),
                         (v, ss, sd, att))
             line = f"N={N:4d} B={B:5d}  xla {t_x*1e6:9.1f} us"
-            for G in (1, 2, 4, 8):
+            variants = [("G=4", 4, False), ("G=8", 8, False)] if N <= 128 \
+                else [("G=2", 2, False), ("G=4", 4, False)]
+            if 2 * N <= 128:
+                variants.append(("G=8 packed", 8, True))
+            for name, G, packed in variants:
                 try:
                     t_p = bench(
-                        jax.jit(lambda v, ss, sd, att, G=G:
-                                attend_pallas(v, ss, sd, att, H, G)),
+                        lambda v, ss, sd, att, G=G, pk=packed:
+                        attend_pallas(v, ss, sd, att, H, G, pk),
                         (v, ss, sd, att),
                     )
-                    line += f" | G={G} {t_x/t_p:4.2f}x"
+                    line += f" | {name} {t_x/t_p:4.2f}x"
                 except Exception as e:
-                    line += f" | G={G} FAIL {type(e).__name__}"
+                    line += f" | {name} FAIL {type(e).__name__}"
             print(line, flush=True)
 
 

@@ -96,12 +96,12 @@ def bench_ingest(n_windows: int = 20000, batch_size: int = 256,
         for _ in range(3):
             xy, mask = next(it)
             params, opt_state, loss = step_fn(params, opt_state, xy, mask)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync before the timed window
         t0 = time.time()
         for _ in range(steps):
             xy, mask = next(it)
             params, opt_state, loss = step_fn(params, opt_state, xy, mask)
-        jax.block_until_ready(loss)
+        float(loss)  # hard sync: tunnel block_until_ready returns ~1 step early
         dt = time.time() - t0
         if mode == "stream":
             it.close()  # release the producer thread + queued buffers

@@ -120,7 +120,7 @@ def bench_train_step(
 
     for _ in range(max(warmup, 1)):  # >=1: the timed loop needs a warm cache
         params, opt_state, loss = compiled(params, opt_state, xy, mask)
-    jax.block_until_ready(loss)
+    float(loss)  # hard sync before the timed window (same reason as below)
 
     import contextlib
 
@@ -131,7 +131,10 @@ def bench_train_step(
         t0 = time.time()
         for _ in range(iters):
             params, opt_state, loss = compiled(params, opt_state, xy, mask)
-        jax.block_until_ready(loss)
+        # Hard sync: behind the tunnel block_until_ready alone returns ~one
+        # in-flight step early (~24 ms measured — a 2-6% optimism at small
+        # iters); fetching the scalar is a real device->host round trip.
+        float(loss)
         dt = time.time() - t0
 
     sps = iters / dt

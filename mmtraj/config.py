@@ -45,7 +45,7 @@ class ModelConfig:
     # Attention-chain backend for the GAT score+softmax+aggregate
     # (mmtraj/ops/fused_attend.py): "auto" (default) uses the Pallas kernel
     # on TPU when the graph is lane-filling (N >= 128) where it measured
-    # 1.4-3.5x faster than the XLA chain, and the XLA chain otherwise
+    # 2.3-2.6x faster end-to-end than the XLA chain, and the XLA chain otherwise
     # (N=64 flagship shapes, where XLA wins — ARCHITECTURE.md pt 12).
     # "auto" is also per-path: encoder/teacher-forced training paths stay
     # XLA at every N (the kernel loses those grad programs 13-14%) while

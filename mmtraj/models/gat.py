@@ -46,7 +46,7 @@ def _use_attend_kernel(attend_kernel: str, use_pallas: bool, n: int,
                        train: bool) -> bool:
     """The attend-chain dispatch rule (ARCHITECTURE.md pts 12-13): "auto"
     routes through the Pallas kernel only at lane-filling N on TPU AND on
-    non-differentiated paths (the kernel wins rollout 1.4-3.5x at N>=128 but
+    non-differentiated paths (the kernel wins rollout 2.3-2.6x end-to-end at N>=128 but
     the grad program measured 13-14% slower); explicit pins always apply."""
     if attend_kernel not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown attend_kernel {attend_kernel!r}")
@@ -81,7 +81,7 @@ def gat_apply(
     ``attend_kernel`` picks the backend for the score+softmax+aggregate
     chain alone (projections stay XLA): "auto" uses the Pallas flash-style
     kernel (mmtraj/ops/fused_attend.py) on TPU at lane-filling graph sizes
-    (N >= 128, measured 1.4-3.5x over the XLA chain; ARCHITECTURE.md pt 12)
+    (N >= 128, measured 2.3-2.6x end-to-end over the XLA chain; ARCHITECTURE.md pt 12)
     and XLA otherwise; "xla"/"pallas" pin it.  Backward is always XLA
     autodiff of the identical math (custom_vjp).
 

@@ -139,6 +139,27 @@ class TestFusedAttend:
         out = attend_pallas(v, ss, sd, att, 4, 8)
         np.testing.assert_allclose(np.asarray(out)[0, 3], 0.0, atol=1e-6)
 
+    def test_packed_forward_exact(self):
+        """Lane-packed variant (two graphs per 128-lane tile): exact vs the
+        reference chain, including internal pad (B not divisible by group)
+        and an all-masked row."""
+        from mmtraj.ops.fused_attend import attend_math, attend_pallas
+
+        for B in (12, 11):
+            v, ss, sd, att = self._inputs(B=B)
+            att = att.at[0, 3].set(0.0)
+            ref = attend_math(v, ss, sd, att, 4)
+            ker = attend_pallas(v, ss, sd, att, 4, 8, True)
+            np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                                       atol=1e-5)
+
+    def test_packed_requires_even_group(self):
+        from mmtraj.ops.fused_attend import attend_pallas
+
+        v, ss, sd, att = self._inputs(B=6)
+        with pytest.raises(ValueError, match="even group"):
+            attend_pallas(v, ss, sd, att, 4, 3, True)
+
     def test_gradients_match_reference(self):
         from mmtraj.ops.fused_attend import attend_math, attend_pallas
 
