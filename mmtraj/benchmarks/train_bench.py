@@ -81,6 +81,7 @@ def bench_train_step(
     unroll: int = 1,
     remat_policy: str = "full",
     attend_kernel: Optional[str] = None,
+    min_seconds: float = 3.0,
 ) -> TrainBenchResult:
     """Time the config-4 (flagship) jitted train step at the given knobs.
 
@@ -121,6 +122,16 @@ def bench_train_step(
     for _ in range(max(warmup, 1)):  # >=1: the timed loop needs a warm cache
         params, opt_state, loss = compiled(params, opt_state, xy, mask)
     float(loss)  # hard sync before the timed window (same reason as below)
+
+    if min_seconds:
+        # Size the timed window so the residual sync tail (~24 ms, see below)
+        # is <1% of dt: pre-measure a few steps, then scale iters.
+        t0 = time.time()
+        for _ in range(5):
+            params, opt_state, loss = compiled(params, opt_state, xy, mask)
+        float(loss)
+        est_sps = 5 / (time.time() - t0)
+        iters = max(iters, int(min_seconds * est_sps) + 1)
 
     import contextlib
 

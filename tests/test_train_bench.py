@@ -8,7 +8,7 @@ pytestmark = pytest.mark.slow  # compiles the full train step
 
 
 def test_bench_train_step_runs_and_reports():
-    r = bench_train_step(batch_size=2, n_max=16, iters=2, warmup=1)
+    r = bench_train_step(batch_size=2, n_max=16, iters=2, warmup=1, min_seconds=0)
     assert r.steps_per_sec > 0
     assert r.windows_per_sec == pytest.approx(2 * r.steps_per_sec)
     # XLA's cost model should count a positive FLOP total for a fwd+bwd+
@@ -19,14 +19,14 @@ def test_bench_train_step_runs_and_reports():
 
 
 def test_bench_bf16_and_no_remat_compile():
-    r = bench_train_step(batch_size=2, n_max=16, iters=1, warmup=0,
+    r = bench_train_step(batch_size=2, n_max=16, iters=1, warmup=0, min_seconds=0,
                          dtype="bfloat16", remat=False)
     assert r.steps_per_sec > 0
 
 
 def test_bench_remat_policy_variants_compile():
     for policy in ("dots", "dots_no_batch"):
-        r = bench_train_step(batch_size=2, n_max=16, iters=1, warmup=0,
+        r = bench_train_step(batch_size=2, n_max=16, iters=1, warmup=0, min_seconds=0,
                              remat_policy=policy)
         assert r.steps_per_sec > 0 and r.remat_policy == policy
 
