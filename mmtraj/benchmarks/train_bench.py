@@ -82,12 +82,18 @@ def bench_train_step(
     remat_policy: str = "full",
     attend_kernel: Optional[str] = None,
     min_seconds: float = 3.0,
+    loss_mode: str = "nll",
+    variety_n: int = 8,
 ) -> TrainBenchResult:
     """Time the config-4 (flagship) jitted train step at the given knobs.
 
     ``attend_kernel`` overrides ModelConfig.attend_kernel ("auto" routes the
     score+softmax+aggregate chain through the Pallas kernel at N>=128 on
     TPU; pass "xla" to pin the canonical chain for A/B at dense N).
+    ``loss_mode``/``variety_n`` select the objective (same knobs as
+    TrainConfig.loss) — "variety" times the winner-takes-all step the
+    quality-headline recipe trains with (n rollouts differentiated per
+    step), which costs more than the parity NLL step.
     """
     cfg = config4()
     cfg = cfg.replace(
@@ -104,10 +110,14 @@ def bench_train_step(
     opt_state = optimizer.init(params)
     stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
     xy, mask = _fake_batch(batch_size, n_max, cfg.data.obs_len + cfg.data.pred_len)
-    step_fn = make_train_step(model, optimizer, stats)
+    step_fn = make_train_step(model, optimizer, stats, loss_mode=loss_mode,
+                              variety_n=variety_n)
+    # Non-NLL objectives (and dropout) thread an in-program RNG step index.
+    extra = ((jnp.int32(0),) if (loss_mode != "nll" or model.cfg.dropout > 0)
+             else ())
 
     t0 = time.time()
-    lowered = step_fn.lower(params, opt_state, xy, mask)
+    lowered = step_fn.lower(params, opt_state, xy, mask, *extra)
     compiled = lowered.compile()
     compile_s = time.time() - t0
     flops = None
@@ -120,7 +130,7 @@ def bench_train_step(
         pass
 
     for _ in range(max(warmup, 1)):  # >=1: the timed loop needs a warm cache
-        params, opt_state, loss = compiled(params, opt_state, xy, mask)
+        params, opt_state, loss = compiled(params, opt_state, xy, mask, *extra)
     float(loss)  # hard sync before the timed window (same reason as below)
 
     if min_seconds:
@@ -128,7 +138,7 @@ def bench_train_step(
         # is <1% of dt: pre-measure a few steps, then scale iters.
         t0 = time.time()
         for _ in range(5):
-            params, opt_state, loss = compiled(params, opt_state, xy, mask)
+            params, opt_state, loss = compiled(params, opt_state, xy, mask, *extra)
         float(loss)
         est_sps = 5 / (time.time() - t0)
         iters = max(iters, int(min_seconds * est_sps) + 1)
@@ -141,7 +151,7 @@ def bench_train_step(
     with prof:
         t0 = time.time()
         for _ in range(iters):
-            params, opt_state, loss = compiled(params, opt_state, xy, mask)
+            params, opt_state, loss = compiled(params, opt_state, xy, mask, *extra)
         # Hard sync: behind the tunnel block_until_ready alone returns ~one
         # in-flight step early (~24 ms measured — a 2-6% optimism at small
         # iters); fetching the scalar is a real device->host round trip.
@@ -191,6 +201,10 @@ def main(argv=None) -> None:
     ap.add_argument("--attend-kernel", default=None,
                     choices=("auto", "xla", "pallas"),
                     help="override ModelConfig.attend_kernel for A/B at dense N")
+    ap.add_argument("--loss", default="nll", choices=("nll", "variety", "hybrid"),
+                    help="objective to time (variety = the WTA quality recipe)")
+    ap.add_argument("--variety-n", type=int, default=8,
+                    help="rollout samples per step for --loss variety/hybrid")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument(
         "--sweep",
@@ -246,6 +260,7 @@ def main(argv=None) -> None:
         args.batch, args.dtype, not args.no_remat, n_max=args.n_max,
         iters=args.iters, profile_dir=args.profile, unroll=args.unroll,
         remat_policy=args.remat_policy, attend_kernel=args.attend_kernel,
+        loss_mode=args.loss, variety_n=args.variety_n,
     )
     print(_fmt(r))
     if args.profile:

@@ -265,7 +265,7 @@ class Forecaster:
     # -- sampling decode (autoregressive rollout) ----------------------------
     def decode_rollout(self, params: Params, carry: Carry, xy_last, mask, stats, key,
                        sigma_scale: float = 1.0, stream=None,
-                       train: bool = False):
+                       train: bool = False, remat: bool = False):
         """One sampled rollout -> absolute positions (B, N, Tp, 2), meters.
 
         Offsets are sampled from the head (GMM) or taken directly
@@ -280,6 +280,17 @@ class Forecaster:
         ``stream``: optional pre-drawn (gumbel, normal) randomness from
         `_rollout_stream`/`_per_window_stream` (sigma_scale already applied
         at the draw site); when given, ``key`` is ignored.
+
+        ``remat``: checkpoint the scan body (honoring cfg.remat/remat_policy
+        like the encoder/teacher scans).  OFF by default and irrelevant to
+        inference (no residuals are saved when nothing differentiates this
+        path — the 180k/s eval program is byte-identical either way); the
+        variety loss turns it on because ITS backward otherwise saves every
+        step's GAT attention residuals for n*B rows, and that HBM traffic —
+        not recompute — binds the step (measured 2.3x on v5e: 11.8 -> 27.1
+        steps/s at B=128 n=8 f32, the quality-headline recipe's objective;
+        FLOPs/step rise 20.4 -> 25.3 GF from the replay and the step still
+        more than doubles).
         """
         cfg = self.cfg
         B, N = mask.shape
@@ -305,6 +316,8 @@ class Forecaster:
                           train=train)
             return (carry, xy_new), xy_new
 
+        if remat:
+            body = _maybe_remat(cfg, body)
         _, traj = jax.lax.scan(body, (carry, xy_last), xs, unroll=cfg.scan_unroll)
         return jnp.moveaxis(traj, 0, 2)  # (B, N, Tp, 2)
 
@@ -389,8 +402,12 @@ class Forecaster:
         # amortizing the custom_vjp boundary), while the teacher-forced /
         # encoder structure above loses with it — measured A/B in
         # ARCHITECTURE.md pt 13.
+        # remat=True: this is the one differentiated consumer of the rollout
+        # scan — without it the backward saves every step's attention
+        # residuals for n*B rows and that HBM write/read traffic binds the
+        # step (see decode_rollout's docstring for the measured factor).
         preds = self.rollout_k(params, xy_obs, mask, stats, key, n_samples,
-                               carry=carry)  # (n, B, N, Tp, 2) meters
+                               carry=carry, remat=True)  # (n, B, N, Tp, 2) meters
         sq = ((preds - gt[None]) ** 2).sum(-1)  # (n, B, N, Tp)
         err = sq.mean(-1)  # (n, B, N)
         if fde_weight > 0.0:
@@ -401,7 +418,7 @@ class Forecaster:
 
     def rollout_k(self, params: Params, xy_obs, mask, stats: NormStats, key, k: int,
                   carry: Carry = None, sigma_scale: float = 1.0, keys=None,
-                  train: bool = False):
+                  train: bool = False, remat: bool = False):
         """K sampled rollouts, encode once -> (K, B, N, Tp, 2) absolute meters.
 
         The K modes are folded into the batch dimension (tile, decode once,
@@ -440,7 +457,7 @@ class Forecaster:
         else:
             traj = self.decode_rollout(
                 params, carry_k, xy_last, mask_k, stats, None, stream=stream,
-                train=train,
+                train=train, remat=remat,
             )
         return traj.reshape((k, B) + traj.shape[1:])
 
