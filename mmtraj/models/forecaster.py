@@ -396,18 +396,20 @@ class Forecaster:
         if drop_key is not None and cfg.dropout > 0.0:
             drop_enc, _ = _dropout_masks(drop_key, cfg, *mask.shape)
         carry = self.encode(params, xy_obs, mask, stats, drop_enc, train=True)
-        # The sampled rollout keeps INFERENCE dispatch (train=False) even
-        # though it is differentiated: at dense N the attend kernel wins the
-        # variety grad program by ~40% (its decode runs n_samples*B rows,
-        # amortizing the custom_vjp boundary), while the teacher-forced /
-        # encoder structure above loses with it — measured A/B in
-        # ARCHITECTURE.md pt 13.
         # remat=True: this is the one differentiated consumer of the rollout
         # scan — without it the backward saves every step's attention
         # residuals for n*B rows and that HBM write/read traffic binds the
         # step (see decode_rollout's docstring for the measured factor).
+        # train=True: with the remat, the rollout is a differentiated path
+        # like any other, and "auto" attend dispatch pins XLA at every N.
+        # (Pre-remat the kernel won this program by ~45% at N=128 because its
+        # n*B-row decode amortized the custom_vjp boundary; the remat replays
+        # the kernel inside the backward and inverts that — re-measured 83.5
+        # vs 93.3 steps/s XLA at N=128 B=32 n=4, plus a 135 s vs 11 s
+        # compile.  ARCHITECTURE.md pt 13 has both measurements.)
         preds = self.rollout_k(params, xy_obs, mask, stats, key, n_samples,
-                               carry=carry, remat=True)  # (n, B, N, Tp, 2) meters
+                               carry=carry, remat=True,
+                               train=True)  # (n, B, N, Tp, 2) meters
         sq = ((preds - gt[None]) ** 2).sum(-1)  # (n, B, N, Tp)
         err = sq.mean(-1)  # (n, B, N)
         if fde_weight > 0.0:

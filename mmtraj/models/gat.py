@@ -46,8 +46,10 @@ def _use_attend_kernel(attend_kernel: str, use_pallas: bool, n: int,
                        train: bool) -> bool:
     """The attend-chain dispatch rule (ARCHITECTURE.md pts 12-13): "auto"
     routes through the Pallas kernel only at lane-filling N on TPU AND on
-    non-differentiated paths (the kernel wins rollout 2.3-2.6x end-to-end at N>=128 but
-    the grad program measured 13-14% slower); explicit pins always apply."""
+    non-differentiated paths (the kernel wins rollout 2.3-2.6x end-to-end
+    at N>=128 but every measured grad program — teacher-forced NLL and the
+    rematted variety rollout alike — is slower through it); explicit pins
+    always apply."""
     if attend_kernel not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown attend_kernel {attend_kernel!r}")
     return not use_pallas and (
@@ -87,8 +89,9 @@ def gat_apply(
 
     ``train=True`` marks a differentiated path: "auto" then stays on the
     XLA chain even at dense N — the grad program (custom_vjp backward +
-    remat forward replay around the kernel boundary) measured 13-14%
-    SLOWER with the kernel at N=128/256 (train_bench --attend-kernel A/B,
+    remat forward replay around the kernel boundary) measured 10-14%
+    SLOWER with the kernel at N=128/256 on both teacher-forced NLL and
+    the rematted variety rollout (train_bench --attend-kernel A/B,
     ARCHITECTURE.md pt 13), while the inference win stands.  An explicit
     "pallas" pin still applies everywhere.
     """
