@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--stream", action="store_true",
                     help="host-side streaming ingest with double-buffered "
                          "prefetch to HBM (for datasets that outgrow HBM)")
+    tp.add_argument("--steps-per-dispatch", type=int, default=None,
+                    help="compile M train steps into one XLA program (scan + "
+                         "in-program batch gather from the HBM-resident "
+                         "window set); same batches/RNG/data order as 1, "
+                         "measured 3.2x steps/s at the config-3 fold shape "
+                         "(requires resident ingest, i.e. not --stream)")
     tp.add_argument("--synthetic", action="store_true",
                     help="generate synthetic data into --data-dir first")
     tp.add_argument("--resume", action="store_true",
@@ -345,6 +351,7 @@ def _apply_overrides(cfg, args):
         "variety_n": getattr(args, "variety_n", None),
         "variety_weight": getattr(args, "variety_weight", None),
         "variety_fde_weight": getattr(args, "variety_fde_weight", None),
+        "steps_per_dispatch": getattr(args, "steps_per_dispatch", None),
     }.items() if v is not None}
     if getattr(args, "data_parallel", False):
         tk["data_parallel"] = True

@@ -153,6 +153,18 @@ class TrainConfig:
     # batch order and loss trajectory to resident mode for a given seed
     # (tested); use for datasets that outgrow HBM.
     stream: bool = False
+    # >1 compiles M train steps into ONE XLA program (lax.scan over steps,
+    # batches gathered in-program from the HBM-resident window set) so the
+    # host pays one dispatch per M steps instead of two per step.  Measured
+    # on v5e behind the tunnel: 3.2x steady-state steps/s at the config-3
+    # quality-recipe fold shape (120.8 -> 388.9 at M=50, identical final
+    # eval metrics), ~0 at the device-bound config-4 B=128 flagship shape —
+    # the win is host-dispatch overhead, so it is largest for small/fast
+    # steps (RESULTS.md "Multi-step dispatch").  Same batches, same per-step
+    # RNG, same data order as =1 (tested allclose; not bit-identical: XLA
+    # fuses across step boundaries, reassociating float reductions).
+    # Requires resident ingest (stream=False).
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

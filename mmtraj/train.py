@@ -59,39 +59,23 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(
+def _build_grad_and_update(
     model: Forecaster,
     optimizer,
     stats: NormStats,
-    mesh=None,
-    ema_decay: float = 0.0,
-    augment_rotate: bool = False,
-    augment_flip: bool = False,
-    seed: int = 0,
-    loss_mode: str = "nll",
-    variety_n: int = 8,
-    variety_weight: float = 1.0,
-    variety_fde_weight: float = 0.0,
+    augment_rotate: bool,
+    augment_flip: bool,
+    seed: int,
+    loss_mode: str,
+    variety_n: int,
+    variety_weight: float,
+    variety_fde_weight: float,
 ):
-    """Build the jitted (params, opt_state, xy, mask) -> (params, opt_state,
-    loss) step.  With a mesh: batch sharded over 'data', state replicated —
-    XLA derives the psum gradient all-reduce from the shardings.
-
-    With ``ema_decay > 0`` the signature gains an EMA pytree:
-    (params, opt_state, ema, xy, mask) -> (params, opt_state, ema, loss);
-    the EMA update fuses into the same XLA program as the optimizer step.
-
-    With augmentation, ``model.cfg.dropout > 0``, or a sampling loss
-    (``loss_mode != "nll"``) the signature gains a trailing int32
-    ``step_idx``: the per-step RNG is ``fold_in(seed-derived base key,
-    step_idx)`` INSIDE the compiled program — rotation/flip, the
-    variational-dropout masks, and the WTA rollout draws cost zero extra host
-    dispatches and the whole step stays one XLA program.
-
-    ``loss_mode`` selects the objective (TrainConfig.loss): "nll"
-    (teacher-forced, the parity default), "variety" (winner-takes-all
-    min-over-``variety_n``-rollouts — trains the best-of-K contract metric
-    directly), or "hybrid" (nll + ``variety_weight`` * variety)."""
+    """The one-step core shared by `make_train_step` (one dispatch per step)
+    and `make_multi_train_step` (a scan of steps per dispatch): (params,
+    opt_state, xy, mask, step_idx) -> (params, opt_state, loss), with all
+    per-step RNG (augment/dropout/WTA draws) derived in-program from
+    ``fold_in(seed-derived base key, step_idx)``.  Returns (fn, needs_rng)."""
     if loss_mode not in ("nll", "variety", "hybrid"):
         raise ValueError(f"unknown loss mode {loss_mode!r}")
     mean = jnp.asarray(stats.mean)
@@ -134,6 +118,126 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    return grad_and_update, needs_rng
+
+
+def make_multi_train_step(
+    model: Forecaster,
+    optimizer,
+    stats: NormStats,
+    mesh=None,
+    ema_decay: float = 0.0,
+    augment_rotate: bool = False,
+    augment_flip: bool = False,
+    seed: int = 0,
+    loss_mode: str = "nll",
+    variety_n: int = 8,
+    variety_weight: float = 1.0,
+    variety_fde_weight: float = 0.0,
+):
+    """M train steps per host dispatch (TrainConfig.steps_per_dispatch).
+
+    Returns the jitted (params, opt_state, ema, xy_all, mask_all, idx_chunk,
+    step_ids) -> (params, opt_state, ema, losses) program: a `lax.scan` over
+    the M rows of ``idx_chunk`` (M, B) whose body gathers each batch
+    IN-PROGRAM from the HBM-resident window set (``xy_all``/``mask_all`` =
+    `DeviceDataset.xy`/`.mask`), then runs the identical one-step core as
+    `make_train_step` — same batches, same ``fold_in(base_key, step_id)``
+    RNG, same optimizer/EMA math.  ``ema`` is None when ema_decay == 0 (an
+    empty pytree: the signature stays uniform).  ``losses`` is the (M,)
+    per-step loss vector, so per-step logging survives chunking.
+
+    Why: behind the TPU tunnel the host pays two dispatches per step (gather
+    + step); at small/fast fold shapes that overhead bounds training.
+    Measured on v5e through `cli train` at the config-3 quality-recipe fold
+    shape: 120.8 -> 388.9 steady-state steps/s at M=50 (3.2x; identical
+    final eval metrics), ~0 at the device-bound config-4 B=128 shape
+    (RESULTS.md "Multi-step dispatch").  Not bit-identical to the per-step
+    path — XLA fuses across step boundaries, reassociating float reductions
+    — but runs the same math in the same order (tested allclose; the data
+    order and RNG streams are exactly the per-step ones).
+
+    With a mesh the gathered batch is constraint-sharded over 'data' and the
+    state stays replicated, so the scan body derives the same psum gradient
+    all-reduce as the per-step program (BASELINE.json:11).
+    """
+    grad_and_update, _ = _build_grad_and_update(
+        model, optimizer, stats, augment_rotate, augment_flip, seed,
+        loss_mode, variety_n, variety_weight, variety_fde_weight,
+    )
+    use_ema = ema_decay > 0.0
+    d = float(ema_decay)
+    shd = batch_sharding(mesh) if mesh is not None else None
+
+    def multi(params, opt_state, ema, xy_all, mask_all, idx_chunk, step_ids):
+        def body(carry, x):
+            params, opt_state, ema = carry
+            idx, sid = x
+            xy, mask = xy_all[idx], mask_all[idx]
+            if shd is not None:
+                xy = jax.lax.with_sharding_constraint(xy, shd)
+                mask = jax.lax.with_sharding_constraint(mask, shd)
+            params, opt_state, loss = grad_and_update(
+                params, opt_state, xy, mask, sid
+            )
+            if use_ema:
+                ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
+            return (params, opt_state, ema), loss
+
+        (params, opt_state, ema), losses = jax.lax.scan(
+            body, (params, opt_state, ema), (idx_chunk, step_ids)
+        )
+        return params, opt_state, ema, losses
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0, 1, 2))
+    rep = replicated(mesh)
+    return jax.jit(
+        multi,
+        in_shardings=(rep,) * 7,
+        out_shardings=(rep,) * 4,
+        donate_argnums=(0, 1, 2),
+    )
+
+
+def make_train_step(
+    model: Forecaster,
+    optimizer,
+    stats: NormStats,
+    mesh=None,
+    ema_decay: float = 0.0,
+    augment_rotate: bool = False,
+    augment_flip: bool = False,
+    seed: int = 0,
+    loss_mode: str = "nll",
+    variety_n: int = 8,
+    variety_weight: float = 1.0,
+    variety_fde_weight: float = 0.0,
+):
+    """Build the jitted (params, opt_state, xy, mask) -> (params, opt_state,
+    loss) step.  With a mesh: batch sharded over 'data', state replicated —
+    XLA derives the psum gradient all-reduce from the shardings.
+
+    With ``ema_decay > 0`` the signature gains an EMA pytree:
+    (params, opt_state, ema, xy, mask) -> (params, opt_state, ema, loss);
+    the EMA update fuses into the same XLA program as the optimizer step.
+
+    With augmentation, ``model.cfg.dropout > 0``, or a sampling loss
+    (``loss_mode != "nll"``) the signature gains a trailing int32
+    ``step_idx``: the per-step RNG is ``fold_in(seed-derived base key,
+    step_idx)`` INSIDE the compiled program — rotation/flip, the
+    variational-dropout masks, and the WTA rollout draws cost zero extra host
+    dispatches and the whole step stays one XLA program.
+
+    ``loss_mode`` selects the objective (TrainConfig.loss): "nll"
+    (teacher-forced, the parity default), "variety" (winner-takes-all
+    min-over-``variety_n``-rollouts — trains the best-of-K contract metric
+    directly), or "hybrid" (nll + ``variety_weight`` * variety)."""
+    grad_and_update, needs_rng = _build_grad_and_update(
+        model, optimizer, stats, augment_rotate, augment_flip, seed,
+        loss_mode, variety_n, variety_weight, variety_fde_weight,
+    )
 
     if ema_decay > 0.0:
         d = float(ema_decay)
@@ -292,41 +396,134 @@ def fit(
     step = start_step
     epoch, skip = divmod(start_step, batches_per_epoch)
     t_train = time.time()
-    while step < cfg.train.steps:
-        for xy, mask in epoch_batches(epoch, skip):
-            extra = (jnp.int32(step),) if needs_rng else ()
+
+    def _log(s: int, lv: float):
+        history.append((s, lv))
+        sps = (s - start_step) / max(time.time() - t_train, 1e-9)
+        logger.log(s, loss=lv, steps_per_sec=round(sps, 2))
+
+    def _maybe_ckpt(s: int):
+        if ckpt_path and cfg.train.ckpt_every > 0 and s % cfg.train.ckpt_every == 0:
+            ckpt_lib.save(ckpt_path, params, stats, cfg, s, opt_state)
+            logger.log(s, event="checkpoint", path=ckpt_path)
             if ema_decay > 0:
-                params, opt_state, ema_params, loss = step_fn(
-                    params, opt_state, ema_params, xy, mask, *extra
+                ckpt_lib.save(
+                    os.path.join(cfg.train.out_dir, "checkpoint_ema.npz"),
+                    ema_params, stats, cfg, s,
                 )
-            else:
-                params, opt_state, loss = step_fn(params, opt_state, xy, mask, *extra)
-            step += 1
-            if step % cfg.train.log_every == 0 or step == start_step + 1:
-                lv = float(loss)
-                history.append((step, lv))
-                sps = (step - start_step) / max(time.time() - t_train, 1e-9)
-                logger.log(step, loss=lv, steps_per_sec=round(sps, 2))
-            if ckpt_path and cfg.train.ckpt_every > 0 and step % cfg.train.ckpt_every == 0:
-                ckpt_lib.save(ckpt_path, params, stats, cfg, step, opt_state)
-                logger.log(step, event="checkpoint", path=ckpt_path)
+
+    def _maybe_eval(s: int):
+        nonlocal eval_metrics
+        if test_ds is not None and cfg.train.eval_every > 0 and s % cfg.train.eval_every == 0:
+            eval_metrics = evaluate(
+                model, ema_params if ema_decay > 0 else params, stats,
+                test_ds, cfg.train.k_samples,
+                batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
+                mesh=mesh,
+            )
+            logger.log(s, **{f"eval_{k}": v for k, v in eval_metrics.items()})
+
+    spd = cfg.train.steps_per_dispatch
+    if spd > 1 and cfg.train.stream:
+        raise ValueError(
+            "steps_per_dispatch > 1 requires resident ingest (stream=False): "
+            "the multi-step program gathers batches in-program from the "
+            "HBM-resident window set"
+        )
+    if spd > 1:
+        # Multi-step dispatch: full chunks of `spd` steps run as ONE XLA
+        # program (scan + in-program gather; see make_multi_train_step);
+        # ragged remainders up to a ckpt/eval/end boundary fall back to the
+        # per-step program.  Same batches, same per-step RNG, same data order
+        # as spd=1 (the index stream below is the identical (seed, epoch)
+        # permutation stream epoch_batches draws from).
+        multi_fn = make_multi_train_step(
+            model, optimizer, stats, mesh, ema_decay,
+            augment_rotate=cfg.train.augment_rotate,
+            augment_flip=cfg.train.augment_flip,
+            seed=cfg.train.seed,
+            loss_mode=cfg.train.loss,
+            variety_n=cfg.train.variety_n,
+            variety_weight=cfg.train.variety_weight,
+            variety_fde_weight=cfg.train.variety_fde_weight,
+        )
+
+        def index_stream():
+            e, sk = epoch, skip
+            while True:
+                rng = np.random.default_rng([cfg.train.seed, e])
+                yield from itertools.islice(
+                    device_ds.epoch_indices(cfg.train.batch_size, rng), sk, None
+                )
+                e += 1
+                sk = 0
+
+        def next_boundary(s: int) -> int:
+            b = cfg.train.steps
+            if ckpt_path and cfg.train.ckpt_every > 0:
+                b = min(b, (s // cfg.train.ckpt_every + 1) * cfg.train.ckpt_every)
+            if test_ds is not None and cfg.train.eval_every > 0:
+                b = min(b, (s // cfg.train.eval_every + 1) * cfg.train.eval_every)
+            return b
+
+        idx_iter = index_stream()
+        while step < cfg.train.steps:
+            m = min(spd, next_boundary(step) - step)
+            if m == spd:
+                idx_chunk = jnp.asarray(
+                    np.stack([next(idx_iter) for _ in range(m)])
+                )
+                step_ids = jnp.arange(step, step + m, dtype=jnp.int32)
+                params, opt_state, ema_params, losses = multi_fn(
+                    params, opt_state, ema_params,
+                    device_ds.xy, device_ds.mask, idx_chunk, step_ids,
+                )
+                to_log = [
+                    t for t in range(step + 1, step + m + 1)
+                    if t % cfg.train.log_every == 0 or t == start_step + 1
+                ]
+                if to_log:  # one host fetch per logged chunk, not per step
+                    lv = np.asarray(losses)
+                    for t in to_log:
+                        _log(t, float(lv[t - step - 1]))
+                step += m
+            else:  # ragged tail to the next boundary: per-step program
+                for _ in range(m):
+                    idx = next(idx_iter)
+                    xy, mask = device_ds.batch(idx)
+                    extra = (jnp.int32(step),) if needs_rng else ()
+                    if ema_decay > 0:
+                        params, opt_state, ema_params, loss = step_fn(
+                            params, opt_state, ema_params, xy, mask, *extra
+                        )
+                    else:
+                        params, opt_state, loss = step_fn(
+                            params, opt_state, xy, mask, *extra
+                        )
+                    step += 1
+                    if step % cfg.train.log_every == 0 or step == start_step + 1:
+                        _log(step, float(loss))
+            _maybe_ckpt(step)
+            _maybe_eval(step)
+    else:
+        while step < cfg.train.steps:
+            for xy, mask in epoch_batches(epoch, skip):
+                extra = (jnp.int32(step),) if needs_rng else ()
                 if ema_decay > 0:
-                    ckpt_lib.save(
-                        os.path.join(cfg.train.out_dir, "checkpoint_ema.npz"),
-                        ema_params, stats, cfg, step,
+                    params, opt_state, ema_params, loss = step_fn(
+                        params, opt_state, ema_params, xy, mask, *extra
                     )
-            if test_ds is not None and cfg.train.eval_every > 0 and step % cfg.train.eval_every == 0:
-                eval_metrics = evaluate(
-                    model, ema_params if ema_decay > 0 else params, stats,
-                    test_ds, cfg.train.k_samples,
-                    batch_size=min(cfg.train.batch_size, 64), seed=cfg.train.seed,
-                    mesh=mesh,
-                )
-                logger.log(step, **{f"eval_{k}": v for k, v in eval_metrics.items()})
-            if step >= cfg.train.steps:
-                break
-        epoch += 1
-        skip = 0
+                else:
+                    params, opt_state, loss = step_fn(params, opt_state, xy, mask, *extra)
+                step += 1
+                if step % cfg.train.log_every == 0 or step == start_step + 1:
+                    _log(step, float(loss))
+                _maybe_ckpt(step)
+                _maybe_eval(step)
+                if step >= cfg.train.steps:
+                    break
+            epoch += 1
+            skip = 0
 
     if test_ds is not None and not eval_metrics:
         eval_metrics = evaluate(

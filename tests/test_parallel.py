@@ -253,3 +253,42 @@ def test_fit_data_parallel_smoke(synth_dir, tmp_path):
     result = fit(cfg)
     assert result.history[-1][1] < result.history[0][1]
     assert np.isfinite(result.history[-1][1])
+
+
+def test_multi_step_dispatch_dp_parity():
+    """The chunked multi-step program (make_multi_train_step) under an
+    8-device DP mesh must match the same program single-device: the scan
+    body's constraint-sharded gather + psum grad all-reduce computes the
+    same math as the unsharded chunk.  Tolerances follow
+    test_multi_step_dp_training_parity above (5 compounding Adam steps
+    amplify the per-shard reduction reorder; losses stay at float noise,
+    params drift bounded in absolute terms)."""
+    from mmtraj.train import make_multi_train_step
+
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=2)
+    model = Forecaster(cfg, 4, 3)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.ones(2, np.float32))
+    opt = make_optimizer(get_config("3"))
+
+    local = np.random.default_rng(7)  # order-independent data
+    n_win, B, M = 64, 16, 5
+    xy_all = jnp.asarray(local.normal(size=(n_win, 6, 7, 2)).astype(np.float32))
+    mask_all = jnp.asarray(local.random((n_win, 6)) > 0.3)
+    idx = jnp.asarray(local.integers(0, n_win, (M, B)))
+    sids = jnp.arange(M, dtype=jnp.int32)
+
+    multi1 = make_multi_train_step(model, opt, stats, mesh=None, seed=3)
+    p1, _, _, l1 = multi1(params, opt.init(params), None, xy_all, mask_all,
+                          idx, sids)
+
+    mesh = make_mesh()
+    params2 = model.init(jax.random.PRNGKey(0))
+    params_r = jax.device_put(params2, replicated(mesh))
+    opt_r = jax.device_put(opt.init(params2), replicated(mesh))
+    multi_dp = make_multi_train_step(model, opt, stats, mesh=mesh, seed=3)
+    p2, _, _, l2 = multi_dp(params_r, opt_r, None, xy_all, mask_all, idx, sids)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=5e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

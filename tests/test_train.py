@@ -326,3 +326,79 @@ def test_resume_replays_uninterrupted_trajectory(stream, synth_dir, tmp_path):
     la, lb = jax.tree.leaves(cont.params), jax.tree.leaves(res.params)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_dispatch_matches_per_step(synth_dir, tmp_path):
+    """steps_per_dispatch compiles M steps into one program (scan +
+    in-program gather) but must run the SAME math: identical (seed, epoch)
+    permutation stream, identical fold_in(base_key, step) RNG, identical
+    optimizer/EMA updates.  Not bit-identical to the per-step path (XLA
+    fuses across step boundaries, reassociating float reductions), so this
+    pins allclose — covering augment+dropout+EMA+variety, the full RNG
+    surface, with 23 = 3*7+2 steps forcing a ragged per-step tail."""
+    import dataclasses
+
+    def run(spd, out):
+        cfg = _quick_cfg("3", synth_dir, tmp_path, steps=23,
+                         obs_len=4, pred_len=3, n_max=12)
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, dropout=0.1),
+            train=dataclasses.replace(
+                cfg.train, batch_size=8, loss="variety", variety_n=2,
+                augment_rotate=True, augment_flip=True, ema_decay=0.99,
+                log_every=5, steps_per_dispatch=spd, out_dir=out,
+            ),
+        )
+        return fit(cfg)
+
+    r1 = run(1, str(tmp_path / "spd1"))
+    r7 = run(7, str(tmp_path / "spd7"))
+    assert [s for s, _ in r1.history] == [s for s, _ in r7.history]
+    for (s, a), (_, b) in zip(r1.history, r7.history):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"loss diverged at step {s}")
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r7.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_multi_step_dispatch_boundaries_and_resume(synth_dir, tmp_path):
+    """Checkpoint boundaries force ragged per-step tails inside the chunked
+    loop (spd=4 vs ckpt_every=10 -> chunks 4,4,2 per period), the periodic
+    checkpoint lands at exactly step 10, and a kill+resume replays the
+    uninterrupted multi-step trajectory."""
+    import dataclasses
+
+    def run(out, steps, resume=False):
+        cfg = _quick_cfg("2", synth_dir, tmp_path, steps=steps,
+                         obs_len=4, pred_len=3, n_max=16)
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, batch_size=8, ckpt_every=10, eval_every=0,
+            steps_per_dispatch=4, out_dir=out,
+        ))
+        return fit(cfg, resume=resume)
+
+    cont = run(str(tmp_path / "mcont"), steps=20)
+
+    out_i = str(tmp_path / "mintr")
+    run(out_i, steps=10)
+    ck = ckpt_lib.load(os.path.join(out_i, "checkpoint.npz"))
+    assert ck.step == 10
+    res = run(out_i, steps=20, resume=True)
+
+    for a, b in zip(jax.tree.leaves(cont.params), jax.tree.leaves(res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_multi_step_dispatch_rejects_stream(synth_dir, tmp_path):
+    """The multi-step program gathers batches from the HBM-resident window
+    set; combining it with streaming ingest is a config error, not a silent
+    fallback."""
+    import dataclasses
+
+    cfg = _quick_cfg("1", synth_dir, tmp_path, steps=4)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, stream=True, steps_per_dispatch=4))
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        fit(cfg)
