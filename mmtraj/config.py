@@ -47,11 +47,12 @@ class ModelConfig:
     # on TPU when the graph is lane-filling (N >= 128) where it measured
     # 2.3-2.6x faster end-to-end than the XLA chain, and the XLA chain otherwise
     # (N=64 flagship shapes, where XLA wins — ARCHITECTURE.md pt 12).
-    # "auto" is also per-path: encoder/teacher-forced training paths stay
-    # XLA at every N (the kernel loses those grad programs 13-14%) while
-    # rollout decodes keep the kernel — including the differentiated one
-    # inside loss_variety, where it wins 41% (ARCHITECTURE.md pt 13).
-    # "xla"/"pallas" pin a backend everywhere.
+    # "auto" is also per-path: ALL differentiated paths pin XLA at every N —
+    # teacher-forced training (the kernel loses those grad programs 13-14%)
+    # AND the rematted rollout inside loss_variety (the remat replays the
+    # kernel in the backward, inverting its pre-remat 45% win: 83.5 vs 93.3
+    # XLA steps/s at N=128 — ARCHITECTURE.md pt 13); inference rollouts keep
+    # the dense-N kernel.  "xla"/"pallas" pin a backend everywhere.
     attend_kernel: str = "auto"
     # Opt-in fully-fused Pallas rollout decoder (whole 12-step loop in one
     # kernel, mmtraj/ops/fused_decoder.py).  GRU+social+GMM only; consumes the

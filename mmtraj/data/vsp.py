@@ -135,6 +135,9 @@ def convert_vsp(
             xy = interp[:, :2] * float(scale)
         for (x, y), frame in zip(xy, interp[:, 2]):
             rows.append((frame, float(ped_id), x, y))
+    if not rows:  # e.g. every track spans fewer frames than frame_step
+        np.savetxt(dst, np.empty((0, 4)), fmt="%.6f")
+        return 0
     arr = np.asarray(rows, dtype=np.float64)
     # Canonical files are frame-major like the processed distributions.
     arr = arr[np.lexsort((arr[:, 1], arr[:, 0]))]

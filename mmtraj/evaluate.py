@@ -122,6 +122,12 @@ def autotune_eval_batch(model: Forecaster, params, stats: NormStats,
             print(f"  B={b:3d}: {wps:10,.0f} window-rollouts/s{tag}", flush=True)
         if wps > best_wps:
             best_b, best_wps = b, wps
+    if best_b is None:
+        raise RuntimeError(
+            f"autotune_eval_batch: no candidate batch succeeded "
+            f"({list(candidates)}) — likely OOM at every size; try smaller "
+            f"candidates or a smaller n_max"
+        )
     if verbose:
         print(f"best eval batch on this chip: {best_b} "
               f"({best_wps:,.0f} window-rollouts/s)", flush=True)

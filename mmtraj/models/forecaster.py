@@ -455,6 +455,14 @@ class Forecaster:
         else:
             stream = None
         if self.cfg.use_fused_decoder:
+            if train or remat:
+                raise ValueError(
+                    "use_fused_decoder=True cannot serve a differentiated "
+                    "rollout (loss=variety/hybrid): the fused Pallas decoder "
+                    "defines no VJP and the train/remat flags do not apply to "
+                    "it — train with the XLA decode path "
+                    "(use_fused_decoder=False)"
+                )
             traj = self._decode_fused(params, carry_k, xy_last, mask_k, stats, stream)
         else:
             traj = self.decode_rollout(

@@ -165,8 +165,8 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
           + (f" aggregate={agg} window_ms={window_ms}" if agg > 1 else ""),
           file=log_stream, flush=True)
     ok = 0
-    st = {"err": 0, "calls": 0, "answered": 0, "t": time.monotonic(),
-          "last_answered": 0}
+    st = {"err": 0, "calls": 0, "called_lines": 0, "answered": 0,
+          "t": time.monotonic(), "last_answered": 0}
 
     def emit(resp: dict) -> None:
         print(json.dumps(resp), file=out_stream, flush=True)
@@ -180,15 +180,19 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             line = (f"stats: answered={st['answered']} ok={ok} "
                     f"err={st['err']} qps={qps:.1f}")
             if agg > 1 and st["calls"]:
-                line += f" mean_group={n / st['calls']:.1f}"
+                # Lines answered by successful device calls over those calls —
+                # error lines and failed groups count in neither term.
+                line += f" mean_group={st['called_lines'] / st['calls']:.1f}"
             print(line, file=log_stream, flush=True)
-            st["t"], st["last_answered"], st["calls"] = now, st["answered"], 0
+            st["t"], st["last_answered"] = now, st["answered"]
+            st["calls"] = st["called_lines"] = 0
 
     def answer_one(r: dict) -> None:
         nonlocal ok
         try:
             pred = server.predict(r["xy"], r["mask"], r["seed"])
             st["calls"] += 1
+            st["called_lines"] += 1
             if r["single"]:
                 pred = pred[:, 0]
             resp = _encode_response(pred, server.k, r["encoding"])
@@ -242,6 +246,7 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
         try:
             pred = server.predict(xy_b, mask_b, group[0]["seed"])
             st["calls"] += 1
+            st["called_lines"] += len(group)
         except Exception as e:  # noqa: BLE001
             for _ in group:
                 emit({"error": f"{type(e).__name__}: {e}"})

@@ -447,6 +447,19 @@ def fit(
             variety_weight=cfg.train.variety_weight,
             variety_fde_weight=cfg.train.variety_fde_weight,
         )
+        # The multi-step program gathers batches in-program, so the FULL
+        # window set is a program input pinned replicated (in_shardings).
+        # Replicate it across the mesh ONCE here instead of handing the jit
+        # the copy DeviceDataset committed to one device: steady-state chunk
+        # dispatches are then transfer-free by construction, not by relying
+        # on the runtime to cache/alias the input reshard.  (On the virtual
+        # CPU mesh both forms measure transfer-free under
+        # jax.transfer_guard; a real multi-chip mesh pays one dataset copy
+        # per device here, the per-step path ships only sharded batches.)
+        xy_all, mask_all = device_ds.xy, device_ds.mask
+        if mesh is not None:
+            xy_all = jax.device_put(xy_all, replicated(mesh))
+            mask_all = jax.device_put(mask_all, replicated(mesh))
 
         def index_stream():
             e, sk = epoch, skip
@@ -476,7 +489,7 @@ def fit(
                 step_ids = jnp.arange(step, step + m, dtype=jnp.int32)
                 params, opt_state, ema_params, losses = multi_fn(
                     params, opt_state, ema_params,
-                    device_ds.xy, device_ds.mask, idx_chunk, step_ids,
+                    xy_all, mask_all, idx_chunk, step_ids,
                 )
                 to_log = [
                     t for t in range(step + 1, step + m + 1)

@@ -231,6 +231,17 @@ def test_autotune_eval_batch_smoke(setup):
     assert best in (2, 4)
 
 
+def test_autotune_eval_batch_no_winner_raises(setup):
+    """No surviving candidate (all failed / none given) is a clear
+    RuntimeError, not a TypeError from int(None)."""
+    from mmtraj.evaluate import autotune_eval_batch
+
+    rng, model, params, stats = setup
+    with pytest.raises(RuntimeError, match="no candidate batch succeeded"):
+        autotune_eval_batch(model, params, stats, n_max=8, k=2, iters=2,
+                            candidates=[], verbose=False)
+
+
 def test_ensemble_of_one_equals_plain(setup):
     """A 1-member 'ensemble' routes through the plain path bit-exactly."""
     rng, model, params, stats = setup

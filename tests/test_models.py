@@ -356,3 +356,15 @@ def test_loss_variety_masked_agents_ignored(rng):
     a = float(model.loss_variety(params, xy, mask, _stats(), key, 4))
     b = float(model.loss_variety(params, jnp.asarray(xy2), mask, _stats(), key, 4))
     assert a == b
+
+
+def test_loss_variety_fused_decoder_raises(rng):
+    """The fused Pallas decoder has no VJP and ignores train/remat; a
+    differentiated rollout through it must fail loudly, not deep in AD."""
+    cfg = ModelConfig(cell="gru", social=True, head="gmm", num_heads=1,
+                      use_fused_decoder=True)
+    model = Forecaster(cfg, OBS, PRED)
+    params = model.init(jax.random.PRNGKey(0))
+    xy, mask = _batch(rng)
+    with pytest.raises(ValueError, match="fused Pallas decoder"):
+        model.loss_variety(params, xy, mask, _stats(), jax.random.PRNGKey(0), 2)

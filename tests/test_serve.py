@@ -212,7 +212,10 @@ def test_stats_lines_report_counts_and_group_size(artifact, rng):
     stats = [x for x in log.getvalue().splitlines() if x.startswith("stats:")]
     assert len(stats) == 2  # 4 answered -> lines at 2 and 4
     assert "answered=2 ok=2 err=0" in stats[0] and "mean_group=2.0" in stats[0]
-    assert "answered=4 ok=3 err=1" in stats[1]
+    # Interval 2 answered one error line and one 1-request group: the error
+    # line must not inflate mean_group (lines-per-successful-call, not
+    # answered-per-call).
+    assert "answered=4 ok=3 err=1" in stats[1] and "mean_group=1.0" in stats[1]
     assert "qps=" in stats[0]
 
 

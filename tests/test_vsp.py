@@ -94,3 +94,15 @@ def test_convert_vsp_feeds_the_standard_stack(tmp_path):
     dst2 = tmp_path / "zara9b.txt"
     convert_vsp(str(src), str(dst2), scale=0.02)
     np.testing.assert_allclose(read_annotation_file(str(dst2)), rows)
+
+
+def test_convert_vsp_all_tracks_below_grid_writes_empty(tmp_path):
+    """Every spline spanning fewer frames than the grid step yields 0 rows
+    and a valid (empty) file, not an IndexError on a (0,)-shaped array."""
+    peds = [np.array([[0.0, 0.0, 3], [5.0, 5.0, 7]])]  # frames 3..7 < step 10
+    src = tmp_path / "short.vsp"
+    _write_vsp(src, peds)
+    dst = tmp_path / "short.txt"
+    n = convert_vsp(str(src), str(dst), scale=0.02)
+    assert n == 0
+    assert dst.exists() and dst.read_text().strip() == ""
