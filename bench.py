@@ -101,8 +101,11 @@ def main() -> int:
     float(many(params, xy_obs, mask, jax.random.PRNGKey(1)))  # compile+run
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
+    # Best-of-5: the tunnel adds ~1% trial-to-trial jitter (measured spread
+    # 1.114-1.126 s); the min of 5 estimates sustained throughput with less
+    # downward bias than 3 without changing the workload.
     times = []
-    for trial in range(3):
+    for trial in range(5):
         t0 = time.time()
         float(many(params, xy_obs, mask, jax.random.PRNGKey(trial)))  # host fetch = sync
         times.append(time.time() - t0)
