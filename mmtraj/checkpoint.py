@@ -237,10 +237,21 @@ def save(
 ) -> None:
     """Save a checkpoint; suffix selects the format: `.npz` flat-numpy shim,
     `.pt`/`.pth` torch interchange, `.h5`/`.hdf5` HDF5 interchange, anything
-    else Orbax (native)."""
+    else Orbax (native).
+
+    Only `.npz` carries optimizer state; passing ``opt_state`` with an
+    interchange format raises instead of silently writing a checkpoint that
+    would resume with a reinitialized optimizer."""
     if path.endswith(".npz"):
         save_npz(path, params, stats, cfg, step, opt_state)
-    elif path.endswith((".pt", ".pth")):
+        return
+    if opt_state is not None:
+        raise ValueError(
+            f"opt_state is only serialized by the .npz format; {path!r} "
+            "would silently drop it (save weights-only with opt_state=None, "
+            "or use .npz for resume-capable checkpoints)"
+        )
+    if path.endswith((".pt", ".pth")):
         save_torch(path, params, stats, cfg, step)
     elif path.endswith((".h5", ".hdf5")):
         save_h5(path, params, stats, cfg, step)

@@ -68,8 +68,12 @@ class WindowDataset:
         """Yield shuffled (xy, mask) batches; final partial batch is wrapped to
         keep every batch the same fixed shape (no recompiles)."""
         perm = rng.permutation(self.n_windows)
+        if len(perm) == 0:
+            return
         pad = (-len(perm)) % batch_size
         if pad:
-            perm = np.concatenate([perm, perm[:pad]])
+            # np.resize repeats cyclically, so batch_size > n_windows still
+            # yields full fixed-shape batches.
+            perm = np.concatenate([perm, np.resize(perm, pad)])
         for s in range(0, len(perm), batch_size):
             yield self.batch(perm[s : s + batch_size])

@@ -64,8 +64,10 @@ def read_annotation_file_native(path: str) -> np.ndarray:
     )
     if rows == -1:
         raise FileNotFoundError(f"cannot read {path!r}")
-    if rows < 0:
-        raise ValueError(f"{path}: malformed line {-rows} (expected >=4 numeric columns)")
+    if rows < 0:  # -(line_no + 1): the offset keeps line 1 distinct from -1
+        raise ValueError(
+            f"{path}: malformed line {-rows - 1} (expected >=4 numeric columns)"
+        )
     return out[:rows]
 
 

@@ -43,9 +43,13 @@ class DeviceDataset:
 
     def epoch_indices(self, batch_size: int, rng: np.random.Generator) -> Iterator[np.ndarray]:
         perm = rng.permutation(self.n_windows)
+        if len(perm) == 0:
+            return
         pad = (-len(perm)) % batch_size
         if pad:
-            perm = np.concatenate([perm, perm[:pad]])
+            # np.resize repeats cyclically, so batch_size > n_windows still
+            # yields a full fixed-shape batch (no recompiles).
+            perm = np.concatenate([perm, np.resize(perm, pad)])
         for s in range(0, len(perm), batch_size):
             yield perm[s : s + batch_size]
 
@@ -66,19 +70,24 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     stop = threading.Event()
 
     def producer():
-        for item in iterator:
-            # Poll the slot semaphore so an abandoned consumer (e.g. the
-            # trainer breaking out mid-epoch at the step budget) releases
-            # this thread and its queued device buffers instead of leaking
-            # them for the process lifetime.
-            while not space.acquire(timeout=0.1):
+        try:
+            for item in iterator:
+                # Poll the slot semaphore so an abandoned consumer (e.g. the
+                # trainer breaking out mid-epoch at the step budget) releases
+                # this thread and its queued device buffers instead of leaking
+                # them for the process lifetime.
+                while not space.acquire(timeout=0.1):
+                    if stop.is_set():
+                        return
                 if stop.is_set():
                     return
-            if stop.is_set():
-                return
-            queue.append(jax.device_put(item, sharding))
-            lock.release()
-        queue.append(done)
+                queue.append(jax.device_put(item, sharding))
+                lock.release()
+            queue.append(done)
+        except BaseException as e:  # noqa: BLE001 — re-raised by the consumer
+            # Hand the failure to the consumer; a dead producer must not
+            # leave the trainer blocked on lock.acquire() forever.
+            queue.append(e)
         lock.release()
 
     t = threading.Thread(target=producer, daemon=True)
@@ -89,6 +98,8 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
             item = queue.popleft()
             if item is done:
                 return
+            if isinstance(item, BaseException):
+                raise item
             space.release()
             yield item
     finally:

@@ -32,7 +32,7 @@ def scene_files(data_dir: str, scene: str) -> List[str]:
     if not files:
         raise FileNotFoundError(
             f"no annotation files for scene {scene!r} under {data_dir!r} "
-            "(expected {scene}.txt or {scene}/*.txt); generate synthetic data "
+            f"(expected {scene}.txt or {scene}/*.txt); generate synthetic data "
             "with mmtraj.data.synthetic.write_synthetic_dataset"
         )
     return files

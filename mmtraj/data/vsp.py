@@ -70,10 +70,17 @@ def parse_vsp(path: str) -> List[np.ndarray]:
                 f"{path}: truncated spline (promised {n_pts} points, "
                 f"{len(toks) - pos} rows left)"
             )
-        rows = np.array(
-            [[float(t[0]), float(t[1]), float(t[2])] for t in toks[pos : pos + n_pts]],
-            dtype=np.float64,
-        )
+        try:
+            rows = np.array(
+                [[float(t[0]), float(t[1]), float(t[2])]
+                 for t in toks[pos : pos + n_pts]],
+                dtype=np.float64,
+            )
+        except (IndexError, ValueError) as e:
+            raise ValueError(
+                f"{path}: malformed control-point row near data row {pos} "
+                "(expected 'x y frame ...')"
+            ) from e
         pos += n_pts
         peds.append(rows)
     return peds

@@ -20,7 +20,7 @@ from mmtraj.models.layers import Params, glorot
 
 
 def gat_init(key, din: int, dout: int, num_heads: int) -> Params:
-    assert dout % num_heads == 0, "dout must divide num_heads"
+    assert dout % num_heads == 0, "num_heads must divide dout"
     dh = dout // num_heads
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {

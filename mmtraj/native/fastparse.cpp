@@ -77,6 +77,7 @@ inline bool parse_number(char** pp, double* out) {
       }
     }
     if (*p == 'e' || *p == 'E') goto slow;  // exponent: strtod handles it
+    if (digits == 0) goto slow;  // bare '.'/'-.' etc: strtod rejects them
     static const double kPow10[16] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,
                                       1e6,  1e7,  1e8,  1e9,  1e10, 1e11,
                                       1e12, 1e13, 1e14, 1e15};
@@ -97,8 +98,12 @@ slow: {
 
 // Parse every whitespace-separated number in the buffer, tracking line
 // structure: each non-empty, non-comment line must yield >= min_cols numbers;
-// the first 4 are kept.  Returns rows parsed, or -(line_number) on a
-// malformed line.
+// the first 4 are kept.  A number with junk glued directly to it (e.g. the
+// ".3" in "1.2.3") keeps the parsed prefix and ends that line's scan — the
+// same token-level rule as the NumPy fallback (parser._read_tolerant), so
+// the two paths stay interchangeable on messy files.  Returns rows parsed,
+// or -(line_number + 1) on a malformed line (offset keeps line 1 distinct
+// from the callers' -1 I/O sentinel).
 long parse_buffer(char* buf, double* out, long max_rows, int min_cols) {
   long rows = 0;
   long line_no = 0;
@@ -123,11 +128,13 @@ long parse_buffer(char* buf, double* out, long max_rows, int min_cols) {
         if (!parse_number(&cur, &v)) break;  // no more numbers on this line
         if (col < 4) vals[col] = v;
         ++col;
+        if (*cur && *cur != ' ' && *cur != '\t' && *cur != '\r' && *cur != ',')
+          break;  // glued junk: keep the parsed prefix, stop this line
         while (*cur == ' ' || *cur == '\t' || *cur == '\r' || *cur == ',') ++cur;
       }
       if (col < min_cols) {
         *line_end = saved;
-        return -line_no;
+        return -(line_no + 1);
       }
       if (rows < max_rows) {
         double* r = out + rows * 4;
@@ -164,7 +171,7 @@ long mmtraj_count_rows(const char* path) {
 }
 
 // Parse the file into out[max_rows * 4].  Returns rows parsed (<= max_rows
-// used), -1 on I/O error, or -(line_no) for a malformed line.
+// used), -1 on I/O error, or -(line_no + 1) for a malformed line.
 long mmtraj_parse(const char* path, double* out, long max_rows, int min_cols) {
   long size = 0;
   char* buf = read_file(path, &size);

@@ -122,3 +122,14 @@ def test_unknown_magic_is_actionable(tmp_path):
 def test_missing_path_raises_checkpoint_error(tmp_path):
     with pytest.raises(ck.CheckpointError):
         ck.load(str(tmp_path / "does_not_exist"))
+
+
+def test_save_opt_state_requires_npz(tmp_path, payload):
+    """Interchange formats don't carry optimizer state; passing one must be
+    a loud error, not a silently resume-broken checkpoint."""
+    params, stats, cfg = payload
+    fake_opt = {"mu": np.zeros(3, np.float32)}
+    for name in ("c.pt", "c.h5", "orbax_dir"):
+        with pytest.raises(ValueError, match="opt_state"):
+            ck.save(str(tmp_path / name), params, stats, cfg, 0, opt_state=fake_opt)
+    ck.save(str(tmp_path / "c.npz"), params, stats, cfg, 0, opt_state=fake_opt)

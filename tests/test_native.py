@@ -86,3 +86,46 @@ def test_numpy_fallback_malformed_line_matches_native(tmp_path):
         read_annotation_file(str(p))
     with pytest.raises(ValueError, match="line 3"):
         read_annotation_file_native(str(p))
+
+
+def test_native_malformed_first_line_is_valueerror(tmp_path):
+    """A malformed FIRST line must not collide with the -1 I/O sentinel
+    (the return code is -(line_no + 1)): ValueError 'line 1', not
+    FileNotFoundError, matching the NumPy fallback exactly."""
+    p = tmp_path / "badfirst.txt"
+    p.write_text("0 1 oops\n0 1 2.0 3.0\n")
+    with pytest.raises(ValueError, match="line 1"):
+        read_annotation_file_native(str(p))
+    with pytest.raises(ValueError, match="line 1"):
+        read_annotation_file(str(p))
+
+
+def test_glued_second_number_token_pinned(tmp_path):
+    """'1.2.3'-style tokens: both paths keep the parsed prefix and stop the
+    line's scan (token-level rule), instead of the native scanner restarting
+    mid-token ('.3' as a new number)."""
+    # Glued token in column 4 with 3 values before it: both accept [.., 4.5].
+    ok = tmp_path / "glued_ok.txt"
+    ok.write_text("1 2 3.0 4.5.6\n")
+    a = read_annotation_file(str(ok))
+    b = read_annotation_file_native(str(ok))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(a, [[1, 2, 3.0, 4.5]])
+    # Glued token in column 1: both reject the line as <4 columns.
+    bad = tmp_path / "glued_bad.txt"
+    bad.write_text("1.2.3 4 5 6\n")
+    with pytest.raises(ValueError, match="line 1"):
+        read_annotation_file(str(bad))
+    with pytest.raises(ValueError, match="line 1"):
+        read_annotation_file_native(str(bad))
+
+
+def test_bare_dot_token_pinned(tmp_path):
+    """A lone '.' is not a number on either path (strtod rejects it; the
+    fast-path mantissa accumulator must not read it as 0.0)."""
+    p = tmp_path / "dot.txt"
+    p.write_text("1 2 3.0 . 4.0\n")
+    with pytest.raises(ValueError, match="line 1"):
+        read_annotation_file(str(p))
+    with pytest.raises(ValueError, match="line 1"):
+        read_annotation_file_native(str(p))

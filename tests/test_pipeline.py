@@ -116,3 +116,29 @@ def test_prefetch_abandoned_consumer_stops_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_epoch_indices_batch_larger_than_dataset(rng):
+    """batch_size > n_windows still yields one FULL fixed-shape batch (the
+    wrap pad repeats the permutation cyclically) — no recompiles, no
+    under-sized shard under data parallelism."""
+    ds = _ds(rng, n=5)
+    dds = DeviceDataset(ds)
+    batches = list(dds.epoch_indices(16, np.random.default_rng(0)))
+    assert len(batches) == 1 and len(batches[0]) == 16
+    assert set(batches[0].tolist()) == set(range(5))
+    host = list(ds.epoch_batches(16, np.random.default_rng(0)))
+    assert len(host) == 1 and host[0][0].shape[0] == 16
+
+
+def test_prefetch_producer_exception_propagates():
+    """A producer failure must raise in the consumer, not hang it forever."""
+    def bad_iter():
+        yield {"x": np.zeros(2, np.float32)}
+        raise RuntimeError("synthetic ingest failure")
+
+    gen = prefetch_to_device(bad_iter(), size=2)
+    first = next(gen)
+    assert isinstance(first["x"], jax.Array)
+    with pytest.raises(RuntimeError, match="synthetic ingest failure"):
+        list(gen)

@@ -106,3 +106,12 @@ def test_convert_vsp_all_tracks_below_grid_writes_empty(tmp_path):
     n = convert_vsp(str(src), str(dst), scale=0.02)
     assert n == 0
     assert dst.exists() and dst.read_text().strip() == ""
+
+
+def test_parse_vsp_short_data_row_raises_valueerror(tmp_path):
+    """A control-point row missing the frame column raises a ValueError
+    naming the file/row, not a bare IndexError."""
+    p = tmp_path / "shortrow.vsp"
+    p.write_text("1 - splines\n2 - points\n0.0 0.0 0 0.0\n1.0 1.0\n")
+    with pytest.raises(ValueError, match="malformed control-point row"):
+        parse_vsp(str(p))
