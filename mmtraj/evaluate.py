@@ -438,6 +438,12 @@ def evaluate(
         batch_size = vmem_friendly_batch(k * oversample * ensemble * tta,
                                          test_ds.n_max,
                                          bytes_per_elem=_model_bytes_per_elem(model))
+        if mesh is not None:
+            # vmem_friendly_batch is the PER-CHIP optimum and the batch is
+            # sharded over 'data': scale by the mesh so every chip runs at
+            # its own optimum (metrics are batch-size invariant by design —
+            # per-window RNG — so only throughput depends on this).
+            batch_size *= mesh.size
     # sigma_scale != 1 tempers the GMM sampling (forecaster.decode_rollout);
     # reported alongside the metrics so tempered numbers can't masquerade as
     # the untempered protocol.

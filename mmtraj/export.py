@@ -63,18 +63,33 @@ def export_predictor(
     import jax.export as je
 
     n = n_agents if n_agents is not None else 0
-    assert n > 0, "n_agents is required (padded agent capacity)"
+    if n <= 0:
+        raise ValueError("n_agents is required (padded agent capacity)")
     plat = platform or jax.default_backend()
-    if plat != "tpu" and model.cfg.attend_kernel == "auto":
-        # The attend-kernel auto dispatch keys on the SESSION backend at
-        # trace time; exporting for a non-TPU target from a TPU session
-        # would otherwise embed a Mosaic custom call the target can't run.
+    if plat != "tpu" and (
+        model.cfg.use_pallas or model.cfg.use_fused_decoder
+        or model.cfg.attend_kernel == "pallas"
+    ):
+        raise ValueError(
+            f"cannot export for platform {plat!r}: the model config pins "
+            "TPU-only Pallas kernels (use_pallas / use_fused_decoder / "
+            "attend_kernel='pallas') — export with the XLA-path config"
+        )
+    if model.cfg.attend_kernel == "auto":
+        # Resolve the auto attend dispatch STATICALLY for the export TARGET:
+        # the runtime rule keys on the session backend at trace time
+        # (gat._use_attend_kernel), which may differ from ``plat`` in either
+        # direction — a TPU session exporting for CPU would embed a Mosaic
+        # custom call the target can't run, and a CPU session exporting for
+        # TPU would silently lose the dense-N kernel win (2.3-2.6x at
+        # N>=128).  Same rule as the runtime's, on an inference path.
         import dataclasses
 
         from mmtraj.models.forecaster import Forecaster
 
+        want = "pallas" if (plat == "tpu" and n >= 128) else "xla"
         model = Forecaster(
-            dataclasses.replace(model.cfg, attend_kernel="xla"),
+            dataclasses.replace(model.cfg, attend_kernel=want),
             model.obs_len, model.pred_len,
         )
     predict = make_predictor(model, params, stats, k, oversample)

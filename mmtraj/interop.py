@@ -291,6 +291,11 @@ def _cell_to_keras(p: Params, kind: str) -> Dict[str, np.ndarray]:
             "bias": np.stack([b, bh]),
         }
     b = b.copy()
+    if "bh" in p:
+        # Torch-imported LSTMs carry a separate recurrent bias; the LSTM
+        # gate math is purely additive (no reset multiplication), so folding
+        # it into Keras' single fused bias is exact.
+        b = b + _np32(p["bh"])
     b[H : 2 * H] += 1.0
     return {"kernel": wx, "recurrent_kernel": _np32(p["wh"]), "bias": b}
 

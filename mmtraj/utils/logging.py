@@ -15,6 +15,8 @@ import os
 import time
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 
 class MetricsLogger:
     def __init__(
@@ -41,7 +43,13 @@ class MetricsLogger:
 
     def log(self, step: int, **metrics: Any) -> None:
         rec: Dict[str, Any] = {"step": step, "t": round(time.time() - self._t0, 3)}
-        rec.update({k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()})
+        # Only 0-d values coerce to float: ndarrays expose __float__ at any
+        # size and raise for size != 1, which would crash the training loop.
+        rec.update({
+            k: (float(v) if hasattr(v, "__float__") and np.ndim(v) == 0
+                else np.asarray(v).tolist() if hasattr(v, "__array__") else v)
+            for k, v in metrics.items()
+        })
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()

@@ -44,12 +44,15 @@ def enable_nan_debugging() -> None:
 
 
 def assert_finite_tree(tree, label: str = "tree") -> None:
-    """chex assertion that every leaf is finite (debug/test utility)."""
+    """chex assertion that every leaf is finite (debug/test utility); the
+    failure names ``label`` and chex's whole-tree message names the leaf
+    path."""
     import chex
-    import jax
 
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        chex.assert_tree_all_finite(leaf)
+    try:
+        chex.assert_tree_all_finite(tree)
+    except AssertionError as e:
+        raise AssertionError(f"non-finite values in {label}: {e}") from e
 
 
 def summarize_trace(trace_dir: str, top: int = 15):

@@ -306,3 +306,37 @@ def test_keras_reset_after_false_full_model_runs():
     )(params)
     g = np.asarray(grads["enc"]["cell"]["wh_n"])
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_cell_to_keras_folds_lstm_recurrent_bias(keras):
+    """A torch-imported LSTM carries a separate recurrent bias ``bh``; the
+    Keras export must fold it into the single fused bias (the LSTM gate math
+    is additive, so b + bh is exact) — previously it was silently dropped."""
+    from mmtraj.interop import _cell_to_keras
+
+    E, H, B = 6, 10, 4
+    rng = np.random.default_rng(3)
+    p = {
+        "wx": rng.normal(size=(E, 4 * H)).astype(np.float32) * 0.3,
+        "wh": rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.3,
+        "b": rng.normal(size=(4 * H,)).astype(np.float32) * 0.3,
+        "bh": rng.normal(size=(4 * H,)).astype(np.float32) * 0.3,
+    }
+    w = _cell_to_keras(p, "lstm")
+    kcell = keras.layers.LSTMCell(H)
+    kcell.build((B, E))
+    kcell.set_weights([w["kernel"], w["recurrent_kernel"], w["bias"]])
+
+    x = rng.normal(size=(B, E)).astype(np.float32)
+    h0 = rng.normal(size=(B, H)).astype(np.float32)
+    c0 = rng.normal(size=(B, H)).astype(np.float32)
+    out, states = kcell(
+        keras.ops.convert_to_tensor(x),
+        [keras.ops.convert_to_tensor(h0), keras.ops.convert_to_tensor(c0)],
+    )
+    got = cell_apply(jax.tree.map(jnp.asarray, p), "lstm", jnp.asarray(x),
+                     Carry(h=jnp.asarray(h0), c=jnp.asarray(c0)))
+    np.testing.assert_allclose(np.asarray(got.h),
+                               keras.ops.convert_to_numpy(out), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.c),
+                               keras.ops.convert_to_numpy(states[1]), atol=2e-6)

@@ -97,3 +97,23 @@ def test_metrics_logger_tensorboard(tmp_path):
 
     recs = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
     assert recs[0]["loss"] == 0.5 and recs[1]["event"] == "checkpoint"
+
+
+def test_metrics_logger_array_metric_does_not_crash(tmp_path):
+    """ndarrays expose __float__ at any size (raising for size != 1); the
+    logger must record them as lists, not crash the training loop."""
+    import json
+
+    from mmtraj.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), quiet=True)
+    lg.log(1, per_k=np.array([0.5, 0.75]), loss=np.float32(0.25))
+    lg.close()
+    recs = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert recs[0]["per_k"] == [0.5, 0.75] and recs[0]["loss"] == 0.25
+
+
+def test_assert_finite_tree_names_label_and_leaf():
+    with pytest.raises(AssertionError, match="grads"):
+        assert_finite_tree({"dense": {"w": jnp.array([1.0, np.nan])}},
+                           label="grads")
