@@ -59,7 +59,9 @@ class ReferenceStyleForecaster:
         adj = np.zeros((n, n), dtype=bool)
         for i in range(n):
             for j in range(n):
-                if i != j and np.linalg.norm(xy[i] - xy[j]) <= self.radius:
+                # radius <= 0 = fully connected (graph/adjacency.py parity).
+                if i != j and (self.radius <= 0
+                               or np.linalg.norm(xy[i] - xy[j]) <= self.radius):
                     adj[i, j] = True
         return adj
 

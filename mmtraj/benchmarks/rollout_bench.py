@@ -67,7 +67,8 @@ def bench_rollout(n_max: int = 128, kernel: str = "auto", batch: int = 12,
     rps = batch * k * iters / min(times)
     if verbose:
         print(f"kernel={kernel:6s} N={n_max} B={batch}: {rps:10,.0f} "
-              f"window-rollouts/s (compile {compile_s:.0f}s)", flush=True)
+              f"window-rollouts/s (compile+first run {compile_s:.0f}s)",
+              flush=True)
     return rps
 
 

@@ -65,7 +65,9 @@ class VectorizedHostForecaster:
         d = xy[:, :, None] - xy[:, None, :]
         dist2 = (d**2).sum(-1)
         pair = mask[:, :, None] & mask[:, None, :]
-        adj = (dist2 <= self.radius**2) & pair
+        # radius <= 0 means fully connected over valid agents — the same
+        # convention as graph/adjacency.py (parity of the denominator math).
+        adj = pair if self.radius <= 0 else (dist2 <= self.radius**2) & pair
         N = xy.shape[1]
         eye = np.eye(N, dtype=bool)[None]
         return adj | (eye & pair)

@@ -450,8 +450,9 @@ def main(argv=None) -> int:
             for scene, a, f, k in rows:
                 print(f"{scene:8s} {_nan(a):8.4f} {_nan(f):8.4f}")
             if ades:
+                k_any = next(k for _, a, _, k in rows if a is not None)
                 print(f"{'AVG':8s} {sum(ades)/len(ades):8.4f} "
-                      f"{sum(fdes)/len(fdes):8.4f} (best-of-{rows[0][3]})")
+                      f"{sum(fdes)/len(fdes):8.4f} (best-of-{k_any})")
         else:
             import statistics as _st
 
@@ -467,9 +468,13 @@ def main(argv=None) -> int:
             for rows in per_seed:
                 avg_a.append(sum(_nan(r[1]) for r in rows) / len(rows))
                 avg_f.append(sum(_nan(r[2]) for r in rows) / len(rows))
+            k_any = next(
+                (r[3] for rows in per_seed for r in rows if r[1] is not None),
+                None,
+            )
             print(f"{'AVG':8s} {_st.mean(avg_a):8.4f}±{_st.stdev(avg_a):6.4f} "
                   f"{_st.mean(avg_f):8.4f}±{_st.stdev(avg_f):6.4f} "
-                  f"(best-of-{per_seed[0][0][3]})")
+                  f"(best-of-{k_any})")
         return 0
 
     if args.cmd == "train":
@@ -518,8 +523,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "eval":
-        import jax
-
         from mmtraj import checkpoint as ckpt_lib
         from mmtraj.evaluate import evaluate
         from mmtraj.models.forecaster import Forecaster

@@ -393,6 +393,7 @@ def fit(
 
     history = []
     eval_metrics: Dict[str, float] = {}
+    last_eval_step = -1
     step = start_step
     epoch, skip = divmod(start_step, batches_per_epoch)
     t_train = time.time()
@@ -413,8 +414,9 @@ def fit(
                 )
 
     def _maybe_eval(s: int):
-        nonlocal eval_metrics
+        nonlocal eval_metrics, last_eval_step
         if test_ds is not None and cfg.train.eval_every > 0 and s % cfg.train.eval_every == 0:
+            last_eval_step = s
             eval_metrics = evaluate(
                 model, ema_params if ema_decay > 0 else params, stats,
                 test_ds, cfg.train.k_samples,
@@ -538,7 +540,10 @@ def fit(
             epoch += 1
             skip = 0
 
-    if test_ds is not None and not eval_metrics:
+    # Final eval at the LAST step's parameters — a periodic eval that fired
+    # mid-run (steps not a multiple of eval_every) must not stand in as the
+    # reported final result.
+    if test_ds is not None and last_eval_step != step:
         eval_metrics = evaluate(
             model, ema_params if ema_decay > 0 else params, stats,
             test_ds, cfg.train.k_samples,

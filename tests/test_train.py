@@ -402,3 +402,25 @@ def test_multi_step_dispatch_rejects_stream(synth_dir, tmp_path):
         cfg.train, stream=True, steps_per_dispatch=4))
     with pytest.raises(ValueError, match="steps_per_dispatch"):
         fit(cfg)
+
+
+def test_final_eval_reflects_final_params(synth_dir, tmp_path):
+    """steps not a multiple of eval_every: the reported final metrics must be
+    an eval of the FINAL parameters, not the last mid-run periodic eval."""
+    import dataclasses
+
+    cfg = _quick_cfg("1", synth_dir, tmp_path, steps=30)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, eval_every=20))
+    result = fit(cfg)
+    model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
+    from mmtraj.data.registry import load_split
+
+    _, test_w = load_split(
+        cfg.data.data_dir, cfg.data.scene, cfg.data.obs_len, cfg.data.pred_len,
+        cfg.data.stride, cfg.data.min_agents,
+    )
+    test_ds = WindowDataset(test_w, cfg.data.n_max)
+    want = evaluate(model, result.params, result.stats, test_ds,
+                    cfg.train.k_samples, batch_size=16, seed=cfg.train.seed)
+    assert result.eval_metrics["min_ade"] == want["min_ade"]
+    assert result.eval_metrics["min_fde"] == want["min_fde"]
