@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="variational dropout rate on embed/GAT activations")
     tp.add_argument("--num-mixtures", type=int, default=None,
                     help="GMM head mixture components (default 5)")
+    tp.add_argument("--encoder", default=None, choices=("rnn", "attn"),
+                    help="observation encoder family: 'rnn' (reference "
+                         "lineage: GRU/LSTM + per-frame social GAT) or "
+                         "'attn' (spatio-temporal attention: causal temporal "
+                         "self-attention per agent interleaved with the same "
+                         "per-frame GAT — mmtraj/models/attn_encoder.py)")
+    tp.add_argument("--attn-layers", type=int, default=None,
+                    help="transformer blocks for --encoder attn (default 2)")
     tp.add_argument("--hidden-dim", type=int, default=None,
                     help="cell/GAT hidden width (default 64)")
     tp.add_argument("--remat-policy", default=None,
@@ -369,6 +377,10 @@ def _apply_overrides(cfg, args):
         mk["num_mixtures"] = args.num_mixtures
     if getattr(args, "hidden_dim", None) is not None:
         mk["hidden_dim"] = args.hidden_dim
+    if getattr(args, "encoder", None) is not None:
+        mk["encoder"] = args.encoder
+    if getattr(args, "attn_layers", None) is not None:
+        mk["attn_layers"] = args.attn_layers
     if getattr(args, "remat_policy", None) is not None:
         mk["remat_policy"] = args.remat_policy
     if getattr(args, "attend_kernel", None) is not None:

@@ -29,6 +29,19 @@ class ModelConfig:
     """
 
     cell: str = "gru"  # "gru" | "lstm"
+    # Observation encoder family (mmtraj/models/forecaster.py::encode):
+    #   "rnn"  — the reference lineage: per-agent GRU/LSTM over offsets with
+    #            per-frame social GAT refinement (BASELINE.json:5).
+    #   "attn" — spatio-temporal attention (mmtraj/models/attn_encoder.py):
+    #            causal temporal self-attention per agent interleaved with
+    #            the same per-frame social GAT, transformer-style — no
+    #            sequential dependency over the 8 obs steps, so the encode
+    #            compiles to large batched matmuls instead of a lax.scan
+    #            (the STAR/AgentFormer successor family to the reference).
+    # The decoder (autoregressive cell + head + rollouts) is shared, so every
+    # loss/eval/export path composes with either encoder.
+    encoder: str = "rnn"
+    attn_layers: int = 2  # transformer blocks when encoder="attn"
     social: bool = True
     num_heads: int = 4
     embed_dim: int = 64

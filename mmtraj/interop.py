@@ -129,6 +129,19 @@ def _gat_to_torch(p: Params, prefix: str, out: Dict[str, np.ndarray]) -> None:
     out[f"{prefix}.out_proj.bias"] = np.asarray(p["bo"], dtype=np.float32)
 
 
+def _require_rnn_encoder(cfg: ModelConfig, what: str) -> None:
+    """Reference-convention import/export maps the RNN encoder family only —
+    the attention encoder (cfg.encoder='attn') is mmtraj's own extension with
+    no torch/Keras reference layout to mirror; its checkpoints travel via
+    mmtraj's native formats (orbax/.npz)."""
+    if getattr(cfg, "encoder", "rnn") != "rnn":
+        raise ValueError(
+            f"{what} covers the reference RNN encoder family only; "
+            f"cfg.encoder={cfg.encoder!r} has no reference convention to map "
+            "(use the orbax/.npz native formats for attention-encoder models)"
+        )
+
+
 def import_state_dict(sd: Dict[str, Any], cfg: ModelConfig) -> Params:
     """Torch-convention state_dict -> mmtraj params (init_params structure).
 
@@ -136,6 +149,7 @@ def import_state_dict(sd: Dict[str, Any], cfg: ModelConfig) -> Params:
     the first missing reference key, so a convention mismatch is a one-line
     diagnosis.
     """
+    _require_rnn_encoder(cfg, "import_state_dict")
     sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
     params: Params = {
         "enc": {
@@ -168,6 +182,7 @@ def import_state_dict(sd: Dict[str, Any], cfg: ModelConfig) -> Params:
 def export_state_dict(params: Params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
     """Inverse of import_state_dict (used to write reference-convention
     checkpoints and to fabricate test fixtures)."""
+    _require_rnn_encoder(cfg, "export_state_dict")
     import jax
 
     params = jax.device_get(params)
@@ -307,6 +322,7 @@ def _gat_keras_names() -> Tuple[str, ...]:
 def export_keras_weights(params: Params, cfg: ModelConfig) -> Dict[str, Dict[str, np.ndarray]]:
     """mmtraj params -> {layer_name: {weight_name: array}} in Keras
     conventions (kernel (in, out), GRU dual bias, LSTM forget +1)."""
+    _require_rnn_encoder(cfg, "export_keras_weights")
     import jax
 
     params = jax.device_get(params)
@@ -342,6 +358,7 @@ def import_keras_weights(layers: Dict[str, Dict[str, Any]], cfg: ModelConfig) ->
     params.  Raises KeyError naming the first missing layer/weight, so a
     convention mismatch is a one-line diagnosis (same contract as
     import_state_dict)."""
+    _require_rnn_encoder(cfg, "import_keras_weights")
     L = KERAS_LAYER_NAMES
 
     def dense(name):

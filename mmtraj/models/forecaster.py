@@ -6,7 +6,11 @@ One configurable pure-JAX model covers the reference's whole ladder
 * encoder: per-agent fused-gate GRU/LSTM over observed per-step offsets, with
   an optional per-frame social refinement — proximity adjacency rebuilt from
   the CURRENT frame's absolute positions, multi-head GAT message passing,
-  residual into the hidden state (BASELINE.json:5).
+  residual into the hidden state (BASELINE.json:5).  A second encoder family
+  (`cfg.encoder="attn"`, mmtraj/models/attn_encoder.py) swaps the recurrence
+  for causal temporal self-attention interleaved with the same per-frame GAT
+  — the transformer successor lineage (STAR/AgentFormer) to the reference's
+  RNN, with no sequential dependency over the observation steps.
 * decoder: same cell + social refinement, autoregressive; the adjacency is
   recomputed INSIDE the `lax.scan` body from sampled positions, so the social
   graph tracks each hypothetical future (SURVEY.md §7 hard part 4) without
@@ -58,12 +62,22 @@ def _maybe_remat(cfg: ModelConfig, body):
 
 def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     E, H = cfg.embed_dim, cfg.hidden_dim
+    if cfg.encoder not in ("rnn", "attn"):
+        raise ValueError(f"unknown encoder {cfg.encoder!r}; choose 'rnn' or 'attn'")
     ks = jax.random.split(key, 10)
-    params: Params = {
-        "enc": {
+    if cfg.encoder == "attn":
+        from mmtraj.models.attn_encoder import attn_encoder_init
+
+        enc: Params = attn_encoder_init(ks[0], cfg)
+    else:
+        enc = {
             "embed": dense_init(ks[0], 2, E),
             "cell": cell_init(ks[1], cfg.cell, E, H),
-        },
+        }
+        if cfg.social:
+            enc["gat"] = gat_init(ks[6], H, H, cfg.num_heads)
+    params: Params = {
+        "enc": enc,
         "dec": {
             "embed": dense_init(ks[2], 2, E),
             "cell": cell_init(ks[3], cfg.cell, E, H),
@@ -73,7 +87,6 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     if cfg.cell == "lstm":
         params["bridge_c"] = dense_init(ks[5], H, H)
     if cfg.social:
-        params["enc"]["gat"] = gat_init(ks[6], H, H, cfg.num_heads)
         params["dec"]["gat"] = gat_init(ks[7], H, H, cfg.num_heads)
     if cfg.head == "gmm":
         params["head"] = gmm.head_init(ks[8], H, cfg.num_mixtures)
@@ -161,6 +174,18 @@ class Forecaster:
         cfg = self.cfg
         B, N = mask.shape
         dxy_n = normalize(to_relative(xy_obs), stats)
+        if cfg.encoder == "attn":
+            from mmtraj.models.attn_encoder import attn_encode
+
+            feat = attn_encode(params["enc"], cfg, xy_obs, dxy_n, mask, drop,
+                               train=train, compute_dtype=_compute_dtype(cfg))
+            h = jnp.tanh(dense(params["bridge_h"], feat))
+            c = (
+                jnp.tanh(dense(params["bridge_c"], feat))
+                if cfg.cell == "lstm"
+                else jnp.zeros_like(h)
+            )
+            return Carry(h=h, c=c)
         xs = (
             jnp.moveaxis(dxy_n, 2, 0),  # (To, B, N, 2)
             jnp.moveaxis(xy_obs, 2, 0),

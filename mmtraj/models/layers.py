@@ -47,6 +47,21 @@ def mlp(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     return x
 
 
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm over the last axis, statistics in float32 (same rationale as
+    the GMM head: TPU bf16 matmuls are fine, normalization statistics are
+    not — SURVEY.md §7 hard part 3)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
 def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Softmax over `axis` treating mask==False entries as absent.
 
