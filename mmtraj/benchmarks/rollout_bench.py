@@ -33,10 +33,17 @@ from mmtraj.models.forecaster import Forecaster
 
 
 def bench_rollout(n_max: int = 128, kernel: str = "auto", batch: int = 12,
-                  k: int = 20, iters: int = 100, verbose: bool = True) -> float:
-    """End-to-end window-rollouts/s at (n_max, kernel, batch); K folded in."""
+                  k: int = 20, iters: int = 100, verbose: bool = True,
+                  encoder: str = "rnn") -> float:
+    """End-to-end window-rollouts/s at (n_max, kernel, batch); K folded in.
+
+    ``encoder`` selects the observation-encoder family ("rnn" scan vs "attn"
+    spatio-temporal attention) — the decoder/rollout program is identical, so
+    the delta isolates the encode stage's share of the eval stack.
+    """
     cfg = config4()
-    mc = dataclasses.replace(cfg.model, scan_unroll=12, attend_kernel=kernel)
+    mc = dataclasses.replace(cfg.model, scan_unroll=12, attend_kernel=kernel,
+                             encoder=encoder)
     model = Forecaster(mc, cfg.data.obs_len, cfg.data.pred_len)
     params = model.init(jax.random.PRNGKey(0))
     stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
@@ -139,6 +146,8 @@ def main(argv=None) -> None:
     ap.add_argument("--kernel", default=None, choices=("auto", "xla", "pallas"),
                     help="end-to-end backend; default compares xla AND pallas")
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--encoder", default="rnn", choices=("rnn", "attn"),
+                    help="observation-encoder family for --end-to-end")
     args = ap.parse_args(argv)
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     if args.op_sweep:
@@ -146,7 +155,8 @@ def main(argv=None) -> None:
     if args.end_to_end or not args.op_sweep:
         kernels = (args.kernel,) if args.kernel else ("xla", "pallas")
         for kr in kernels:
-            bench_rollout(args.n_max, kr, args.batch, args.k, args.iters)
+            bench_rollout(args.n_max, kr, args.batch, args.k, args.iters,
+                          encoder=args.encoder)
 
 
 if __name__ == "__main__":

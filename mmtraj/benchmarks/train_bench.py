@@ -84,6 +84,8 @@ def bench_train_step(
     min_seconds: float = 3.0,
     loss_mode: str = "nll",
     variety_n: int = 8,
+    encoder: str = "rnn",
+    attn_layers: int = 2,
 ) -> TrainBenchResult:
     """Time the config-4 (flagship) jitted train step at the given knobs.
 
@@ -94,12 +96,14 @@ def bench_train_step(
     TrainConfig.loss) — "variety" times the winner-takes-all step the
     quality-headline recipe trains with (n rollouts differentiated per
     step), which costs more than the parity NLL step.
+    ``encoder``/``attn_layers`` select the observation-encoder family
+    (ModelConfig.encoder: "rnn" scan vs "attn" spatio-temporal attention).
     """
     cfg = config4()
     cfg = cfg.replace(
         model=dataclasses.replace(
             cfg.model, dtype=dtype, remat=remat, scan_unroll=unroll,
-            remat_policy=remat_policy,
+            remat_policy=remat_policy, encoder=encoder, attn_layers=attn_layers,
             **({"attend_kernel": attend_kernel} if attend_kernel else {}),
         ),
         train=dataclasses.replace(cfg.train, batch_size=batch_size),
@@ -205,6 +209,10 @@ def main(argv=None) -> None:
                     help="objective to time (variety = the WTA quality recipe)")
     ap.add_argument("--variety-n", type=int, default=8,
                     help="rollout samples per step for --loss variety/hybrid")
+    ap.add_argument("--encoder", default="rnn", choices=("rnn", "attn"),
+                    help="observation-encoder family (ModelConfig.encoder)")
+    ap.add_argument("--attn-layers", type=int, default=2,
+                    help="transformer blocks when --encoder attn")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument(
         "--sweep",
@@ -261,6 +269,7 @@ def main(argv=None) -> None:
         iters=args.iters, profile_dir=args.profile, unroll=args.unroll,
         remat_policy=args.remat_policy, attend_kernel=args.attend_kernel,
         loss_mode=args.loss, variety_n=args.variety_n,
+        encoder=args.encoder, attn_layers=args.attn_layers,
     )
     print(_fmt(r))
     if args.profile:

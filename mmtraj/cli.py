@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--batch-size", type=int, default=None)
     tp.add_argument("--lr", type=float, default=None)
     tp.add_argument("--lr-schedule", default=None, choices=("constant", "cosine"))
+    tp.add_argument("--warmup-steps", type=int, default=None,
+                    help="linear LR warmup steps for --lr-schedule cosine")
     tp.add_argument("--ema-decay", type=float, default=None,
                     help=">0 enables EMA weights for eval + checkpoint_ema.npz")
     tp.add_argument("--dropout", type=float, default=None,
@@ -350,6 +352,7 @@ def _apply_overrides(cfg, args):
         "steps": getattr(args, "steps", None), "batch_size": getattr(args, "batch_size", None),
         "lr": getattr(args, "lr", None), "seed": getattr(args, "seed", None),
         "lr_schedule": getattr(args, "lr_schedule", None),
+        "warmup_steps": getattr(args, "warmup_steps", None),
         "ema_decay": getattr(args, "ema_decay", None),
         "out_dir": getattr(args, "out_dir", None), "k_samples": args.k,
         "eval_every": getattr(args, "eval_every", None),

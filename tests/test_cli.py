@@ -205,6 +205,22 @@ def test_cli_requires_subcommand():
         main([])
 
 
+def test_train_overrides_reach_config():
+    """CLI flags land on the right frozen-dataclass fields (no training run)."""
+    from mmtraj.cli import _apply_overrides, build_parser
+    from mmtraj.config import get_config
+
+    args = build_parser().parse_args(
+        ["train", "--config", "3", "--warmup-steps", "2000", "--lr", "5e-4",
+         "--encoder", "attn", "--attn-layers", "3"]
+    )
+    cfg = _apply_overrides(get_config("3"), args)
+    assert cfg.train.warmup_steps == 2000
+    assert cfg.train.lr == 5e-4
+    assert cfg.model.encoder == "attn"
+    assert cfg.model.attn_layers == 3
+
+
 def test_cli_rejects_unknown_scene():
     with pytest.raises(SystemExit):
         main(["train", "--scene", "nowhere"])

@@ -31,6 +31,12 @@ def test_bench_remat_policy_variants_compile():
         assert r.steps_per_sec > 0 and r.remat_policy == policy
 
 
+def test_bench_attn_encoder_compiles():
+    r = bench_train_step(batch_size=2, n_max=16, iters=1, warmup=0, min_seconds=0,
+                         encoder="attn", attn_layers=1)
+    assert r.steps_per_sec > 0
+
+
 def test_stream_bench_runs_and_reports_both_modes():
     from mmtraj.benchmarks.stream_bench import bench_ingest
 
