@@ -160,9 +160,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="evaluate a train --scene all checkpoint tree (one process, "
              "per-scene mean±std table over seeds)",
     )
-    lp.add_argument("--loo-dir", required=True,
+    lp.add_argument("--loo-dir", required=True, nargs="+",
                     help="the --out-dir given to train --scene all; contains "
-                         "{scene}/ (single seed) or s{seed}/{scene}/ subdirs")
+                         "{scene}/ (single seed) or s{seed}/{scene}/ subdirs. "
+                         "Several trees (e.g. different encoder families or "
+                         "recipes) may be given WITH --ensemble: each fold "
+                         "pools every tree's per-seed checkpoints into one "
+                         "heterogeneous deep ensemble (evaluate_mixed)")
     lp.add_argument("--seeds", type=int, nargs="+", default=None,
                     help="seeds to aggregate (default: auto-detect layout)")
     lp.add_argument("--ema", action="store_true",
@@ -596,52 +600,83 @@ def main(argv=None) -> int:
         from mmtraj.models.forecaster import Forecaster
 
         name = "checkpoint_ema.npz" if args.ema else "checkpoint.npz"
-        seeds = args.seeds
-        if seeds is None:
+        trees = args.loo_dir
+        if len(trees) > 1 and not args.ensemble:
+            parser.error("multiple --loo-dir trees require --ensemble "
+                         "(they pool into one heterogeneous ensemble)")
+
+        def tree_seeds(tree):
+            if args.seeds is not None:
+                return args.seeds
             # train --scene all writes {out}/{scene} for one seed and
             # {out}/s{seed}/{scene} for --seeds runs; detect which.
             sdirs = sorted(
-                int(d[1:]) for d in os.listdir(args.loo_dir)
+                int(d[1:]) for d in os.listdir(tree)
                 if d.startswith("s") and d[1:].isdigit()
             )
-            seeds = sdirs or [None]
-        if args.ensemble and len(seeds) < 2:
-            parser.error("--ensemble needs a multi-seed tree (s{seed}/ dirs)")
+            return sdirs or [None]
+
+        seeds_by_tree = {tree: tree_seeds(tree) for tree in trees}
+        n_members = sum(len(s) for s in seeds_by_tree.values())
+        if args.ensemble and n_members < 2:
+            parser.error("--ensemble needs >=2 members (a multi-seed tree "
+                         "or several --loo-dir trees)")
         per_scene = {}
         for scene in SCENES:
-            ds = None  # seeds share a fold's data config; parse it once
-            members = []  # --ensemble: pool the fold's per-seed params
-            for seed in seeds:
-                sub = f"s{seed}/{scene}" if seed is not None else scene
-                path = os.path.join(args.loo_dir, sub, name)
-                ck = ckpt_lib.load(path)
-                cfg = ck.config
-                if ds is None:
-                    ds, _ = _load_eval_dataset(cfg, False, "the metric population")
-                model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
-                if args.ensemble:
-                    members.append(ck.params)
-                    continue
-                m = evaluate(model, ck.params, ck.stats, ds,
-                             cfg.train.k_samples, seed=args.seed,
-                             reduction=args.reduction, rollout=args.rollout,
-                             sigma_scale=args.sigma_scale,
-                             oversample=args.oversample, tta=args.tta)
-                per_scene.setdefault(scene, []).append(
-                    (m["min_ade"], m["min_fde"])
-                )
-                tag = f"seed={seed} " if seed is not None else ""
-                print(f"{tag}scene={scene}: ADE={m['min_ade']:.4f} "
-                      f"FDE={m['min_fde']:.4f}", flush=True)
+            ds = None  # members share a fold's data config; parse it once
+            members = []  # --ensemble: pool (model, params) per member
+            for tree in trees:
+                for seed in seeds_by_tree[tree]:
+                    sub = f"s{seed}/{scene}" if seed is not None else scene
+                    path = os.path.join(tree, sub, name)
+                    ck = ckpt_lib.load(path)
+                    cfg = ck.config
+                    if ds is None:
+                        ds, _ = _load_eval_dataset(
+                            cfg, False, "the metric population")
+                    model = Forecaster(cfg.model, cfg.data.obs_len,
+                                       cfg.data.pred_len)
+                    if args.ensemble:
+                        members.append((model, ck.params))
+                        continue
+                    m = evaluate(model, ck.params, ck.stats, ds,
+                                 cfg.train.k_samples, seed=args.seed,
+                                 reduction=args.reduction, rollout=args.rollout,
+                                 sigma_scale=args.sigma_scale,
+                                 oversample=args.oversample, tta=args.tta)
+                    per_scene.setdefault(scene, []).append(
+                        (m["min_ade"], m["min_fde"])
+                    )
+                    tag = f"seed={seed} " if seed is not None else ""
+                    print(f"{tag}scene={scene}: ADE={m['min_ade']:.4f} "
+                          f"FDE={m['min_fde']:.4f}", flush=True)
             if args.ensemble:
                 # Norm stats are a deterministic function of the fold's
-                # training data, so every seed's checkpoint carries the same
-                # ones; the last ck's stats stand for the fold.
-                m = evaluate(model, members, ck.stats, ds,
-                             cfg.train.k_samples, seed=args.seed,
-                             reduction=args.reduction, rollout=args.rollout,
-                             sigma_scale=args.sigma_scale,
-                             oversample=args.oversample, tta=args.tta)
+                # training data, so every member's checkpoint carries the
+                # same ones; the last ck's stats stand for the fold.
+                if len(trees) == 1:
+                    # Same-architecture members: the stacked-vmap path (one
+                    # compiled program; bit-compatible with recorded tables).
+                    if args.rollout != "sample":
+                        parser.error("--ensemble requires sampled rollouts")
+                    m = evaluate(model, [p for _, p in members], ck.stats, ds,
+                                 cfg.train.k_samples, seed=args.seed,
+                                 reduction=args.reduction, rollout=args.rollout,
+                                 sigma_scale=args.sigma_scale,
+                                 oversample=args.oversample, tta=args.tta)
+                else:
+                    # Heterogeneous pool (e.g. rnn + attn trees): one program
+                    # per distinct model, shared candidate pool + selection.
+                    from mmtraj.evaluate import evaluate_mixed
+
+                    if args.rollout != "sample":
+                        parser.error("--ensemble requires sampled rollouts")
+                    m = evaluate_mixed(members, ck.stats, ds,
+                                       cfg.train.k_samples, seed=args.seed,
+                                       reduction=args.reduction,
+                                       sigma_scale=args.sigma_scale,
+                                       oversample=args.oversample,
+                                       tta=args.tta)
                 per_scene.setdefault(scene, []).append(
                     (m["min_ade"], m["min_fde"])
                 )

@@ -350,6 +350,221 @@ def _eval_sums(model: Forecaster, k: int, mesh=None, reduction: str = "per_agent
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _member_pool(model: Forecaster, k: int, sigma_scale: float,
+                 oversample: int, tta: int):
+    """Jittable per-batch candidate-pool program for ONE ensemble member.
+
+    Returns (preds, nll): the member's tta*oversample*k sampled candidates
+    (view 0 first — [:k] is the plain identity joint set) and its per-step
+    teacher-forced GMM NLL.  Member m of an ensemble samples from
+    fold_in(fold_in(seed_key, m), w) — identical streams to the homogeneous
+    stacked-vmap path in _eval_sums, so a mixed ensemble of same-architecture
+    members reproduces `evaluate(model, [p0, p1, ...])` exactly (pinned by
+    tests/test_evaluate.py).  One program compiles per distinct model; pooling
+    M seeds x F families costs F compiles, not M*F.
+    """
+    if model.cfg.scan_unroll == 1:
+        import dataclasses
+
+        model = Forecaster(
+            dataclasses.replace(model.cfg, scan_unroll=model.pred_len),
+            model.obs_len, model.pred_len,
+        )
+
+    def fn(params, xy, mask, win_idx, stats_mean, stats_std, base_key):
+        stats = NormStats(stats_mean, stats_std)
+        obs = xy[:, :, : model.obs_len]
+        gt = xy[:, :, model.obs_len:]
+        carry0 = model.encode(params, obs, mask, stats)
+        outs = []
+        for t in range(tta):
+            if t == 0:
+                key_t, obs_t, carry_t = base_key, obs, carry0
+            else:
+                R = jnp.asarray(_tta_mats(tta)[t], jnp.float32)
+                key_t = jax.random.fold_in(base_key, t)
+                obs_t = jnp.einsum("ij,bntj->bnti", R, obs)
+                carry_t = model.encode(params, obs_t, mask, stats)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key_t, i))(win_idx)
+            pr = model.rollout_k(params, obs_t, mask, stats, None,
+                                 k * oversample, carry=carry_t,
+                                 sigma_scale=sigma_scale, keys=keys)
+            if t > 0:
+                R = jnp.asarray(_tta_mats(tta)[t], jnp.float32)
+                pr = jnp.einsum("ji,sbntj->sbnti", R, pr)
+            outs.append(pr)
+        preds = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+        from mmtraj.data.transforms import normalize, to_relative
+
+        dxy_n = normalize(to_relative(xy), stats)[:, :, model.obs_len:]
+        teach = model.decode_teacher(params, carry0, gt, dxy_n, mask)
+        return preds, gmm_nll(teach, dxy_n)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _mixed_reduce(n_members: int, k: int, reduction: str):
+    """Jittable reducer over a pooled candidate set -> per-window sums.
+
+    Same masked per-window accumulation contract as _eval_sums (exact
+    host-side fsum aggregation downstream), with the deep-ensemble
+    predictive NLL over the stacked per-member teacher NLLs."""
+
+    def fn(preds, nll_m, joint_k, xy, mask, obs_len):
+        gt = xy[:, :, obs_len:]
+        if preds.shape[0] > k:
+            if reduction == "per_window":
+                from mmtraj.models.sampling import diverse_select_joint
+
+                preds = diverse_select_joint(preds, mask, k)
+            else:
+                from mmtraj.models.sampling import diverse_select
+
+                preds = diverse_select(preds, k)
+        ade_k, fde_k = displacement_errors(preds, gt[None])
+        m = mask.astype(jnp.float32)
+        n_per_w = m.sum(axis=1)
+        has = (n_per_w > 0).astype(jnp.float32)
+        if reduction == "per_window":
+            denom = jnp.maximum(n_per_w, 1.0)
+            ade_pw = ((ade_k * m).sum(axis=2) / denom).min(axis=0) * has
+            fde_pw = ((fde_k * m).sum(axis=2) / denom).min(axis=0) * has
+        else:
+            ade_pw = (ade_k.min(axis=0) * m).sum(axis=1)
+            fde_pw = (fde_k.min(axis=0) * m).sum(axis=1)
+        miss_pw = ((fde_k.min(axis=0) > 2.0) * m).sum(axis=1)
+        coll = collisions(joint_k, mask)
+        coll_pw = (coll * m[None]).sum(axis=(0, 2)) / joint_k.shape[0]
+        per_step = -jax.nn.logsumexp(-nll_m, axis=0) + jnp.log(
+            jnp.float32(n_members))
+        nll_pw = (per_step.mean(axis=-1) * m).sum(axis=1)
+        return ade_pw, fde_pw, miss_pw, coll_pw, nll_pw, n_per_w, has
+
+    return jax.jit(fn, static_argnames=("obs_len",))
+
+
+def evaluate_mixed(
+    members,
+    stats: NormStats,
+    test_ds: WindowDataset,
+    k: int = 20,
+    batch_size: int | None = None,
+    seed: int = 0,
+    reduction: str = "per_agent",
+    sigma_scale: float = 1.0,
+    oversample: int = 1,
+    tta: int = 1,
+) -> Dict[str, float]:
+    """Best-of-K evaluation of a HETEROGENEOUS deep ensemble.
+
+    ``members`` is a sequence of ``(model, params)`` pairs whose ModelConfigs
+    may differ (e.g. the recurrent and attention encoder families, or
+    different depths/seeds) as long as every member has the GMM head and the
+    same obs/pred horizon.  All members' tta*oversample*k sampled candidates
+    pool per window and endpoint-diverse selection submits K, so the
+    protocol stays best-of-K — exactly the `evaluate(model, [params...])`
+    deep-ensemble semantics, generalized to members that cannot share one
+    stacked parameter tree.  Member RNG streams and the per-window keys match
+    the homogeneous path (member m draws from fold_in(seed_key, m), and a
+    single member draws from seed_key itself like the plain protocol), so a
+    mixed ensemble of same-architecture members reproduces
+    `evaluate(model, [p...])` — and a single-member one reproduces
+    `evaluate(model, p)` (pinned by tests).  Reported NLL is the ensemble
+    predictive NLL (uniform mixture over members).
+
+    Execution-shape invariance: numbers are a pure function of
+    (seed, member order, window set) — never of batching.
+    """
+    members = list(members)
+    if len(members) == 0:
+        raise ValueError("empty ensemble")
+    for model, _ in members:
+        if model.cfg.head != "gmm":
+            raise ValueError("ensemble evaluation requires sampled GMM rollouts")
+        if (model.obs_len, model.pred_len) != (members[0][0].obs_len,
+                                               members[0][0].pred_len):
+            raise ValueError("ensemble members must share the obs/pred horizon")
+    if reduction not in ("per_agent", "per_window"):
+        raise ValueError(f"unknown reduction {reduction!r}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    if tta < 1:
+        raise ValueError(f"tta must be >= 1, got {tta}")
+    if batch_size is None:
+        bpe = max(_model_bytes_per_elem(m) for m, _ in members)
+        batch_size = vmem_friendly_batch(k * oversample * tta, test_ds.n_max,
+                                         bytes_per_elem=bpe)
+    n_dropped = int(getattr(test_ds, "n_dropped", 0))
+    if n_dropped > 0:
+        import warnings
+
+        warnings.warn(
+            f"evaluation dataset dropped {n_dropped} agents that exceeded "
+            f"n_max={test_ds.n_max}; reported metrics cover a reduced "
+            "population — raise n_max (cli: --auto-n-max) for protocol-exact "
+            "numbers",
+            stacklevel=2,
+        )
+    reduce_fn = _mixed_reduce(len(members), k, reduction)
+    key = jax.random.PRNGKey(seed)
+    n = len(test_ds)
+    mean = jnp.asarray(stats.mean)
+    std = jnp.asarray(stats.std)
+    obs_len = members[0][0].obs_len
+    sums = []
+    for s in range(0, n, batch_size):
+        idx = np.arange(s, min(s + batch_size, n))
+        xy, mask = test_ds.batch(idx)
+        if len(idx) < batch_size:
+            pad = batch_size - len(idx)
+            xy = np.concatenate([xy, np.zeros((pad,) + xy.shape[1:], xy.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
+        xy, mask = jnp.asarray(xy), jnp.asarray(mask)
+        win_idx = jnp.arange(s, s + batch_size, dtype=jnp.int32)
+        pools, nlls = [], []
+        for i, (model, params) in enumerate(members):
+            fn = _member_pool(model, k, float(sigma_scale), int(oversample),
+                              int(tta))
+            base_key = key if len(members) == 1 else jax.random.fold_in(
+                key, jnp.uint32(i))
+            preds, nll = fn(params, xy, mask, win_idx, mean, std, base_key)
+            pools.append(preds)
+            nlls.append(nll)
+        # Collision keeps joint-sample pairing: member 0's first K raw
+        # identity rollouts (mirrors the homogeneous ensemble path).
+        sums.append(reduce_fn(jnp.concatenate(pools, 0), jnp.stack(nlls),
+                              pools[0][:k], xy, mask, obs_len=obs_len))
+    import math
+
+    per_window = [
+        np.concatenate([np.asarray(t, np.float64) for t in parts])
+        for parts in zip(*map(jax.device_get, sums))
+    ] if sums else [np.zeros(0)] * 7
+    ade_sum, fde_sum, miss_sum, coll_sum, nll_sum, n_agents, n_win = (
+        math.fsum(a) for a in per_window
+    )
+    n_agents = max(n_agents, 1.0)
+    primary = max(n_win, 1.0) if reduction == "per_window" else n_agents
+    return {
+        "min_ade": ade_sum / primary,
+        "min_fde": fde_sum / primary,
+        "miss_rate_2m": miss_sum / n_agents,
+        "collision_rate": coll_sum / n_agents,
+        "nll": nll_sum / n_agents,
+        "k": k,
+        "reduction": reduction,
+        "n_windows": n,
+        "n_agents": int(n_agents),
+        "n_dropped": n_dropped,
+        "ensemble": len(members),
+        **({"sigma_scale": float(sigma_scale)} if sigma_scale != 1.0 else {}),
+        **({"oversample": int(oversample)} if oversample > 1 else {}),
+        **({"tta": int(tta)} if tta > 1 else {}),
+    }
+
+
 def evaluate(
     model: Forecaster,
     params,

@@ -53,6 +53,7 @@ from mmtraj.models.layers import (
     glorot,
     layer_norm,
     layer_norm_init,
+    maybe_remat,
     mlp,
     mlp_init,
 )
@@ -182,8 +183,7 @@ def attn_encode(params: Params, cfg, xy_obs, dxy_n, mask, drop=None,
         x = x + mlp(lp["mlp"], layer_norm(lp["ln3"], x), dt)
         return x
 
-    if cfg.remat:
-        layer_apply = jax.checkpoint(layer_apply)
+    layer_apply = maybe_remat(cfg, layer_apply)
     for i in range(cfg.attn_layers):
         x = layer_apply(params["layers"][f"l{i}"], x)
     feat = layer_norm(params["ln_out"], x[:, :, -1])  # (B, N, H) last obs step

@@ -34,30 +34,15 @@ from mmtraj.graph.adjacency import proximity_adjacency
 from mmtraj.models import gmm
 from mmtraj.models.cells import Carry, cell_apply, cell_init, init_carry
 from mmtraj.models.gat import gat_apply, gat_init
-from mmtraj.models.layers import Params, dense, dense_init
+from mmtraj.models.layers import Params, dense, dense_init, maybe_remat
 
 
 def _compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
 
 
-def _maybe_remat(cfg: ModelConfig, body):
-    """Wrap a scan body in jax.checkpoint per cfg.remat/remat_policy.
-
-    Policies change scheduling (what the backward pass recomputes vs reads
-    from HBM), never math — pinned by tests/test_models.py::
-    test_remat_matches_no_remat for every policy."""
-    if not cfg.remat:
-        return body
-    if cfg.remat_policy == "full":
-        return jax.checkpoint(body)
-    policy = {
-        "dots": jax.checkpoint_policies.dots_saveable,
-        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-    }.get(cfg.remat_policy)
-    if policy is None:
-        raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
-    return jax.checkpoint(body, policy=policy)
+# Scan bodies checkpoint via the shared helper (policies pinned math-exact).
+_maybe_remat = maybe_remat
 
 
 def init_params(key: jax.Array, cfg: ModelConfig) -> Params:

@@ -16,6 +16,25 @@ Params = dict
 NEG_INF = -1e9
 
 
+def maybe_remat(cfg, body):
+    """Wrap a scan/layer body in jax.checkpoint per cfg.remat/remat_policy.
+
+    Policies change scheduling (what the backward pass recomputes vs reads
+    from HBM), never math — pinned by tests/test_models.py::
+    test_remat_matches_no_remat for every policy."""
+    if not cfg.remat:
+        return body
+    if cfg.remat_policy == "full":
+        return jax.checkpoint(body)
+    policy = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }.get(cfg.remat_policy)
+    if policy is None:
+        raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+    return jax.checkpoint(body, policy=policy)
+
+
 def glorot(key, shape, dtype=jnp.float32):
     fan_in, fan_out = shape[-2], shape[-1]
     scale = jnp.sqrt(2.0 / (fan_in + fan_out))

@@ -118,18 +118,24 @@ def test_temporal_mhsa_causal(rng):
 
 
 def test_remat_matches_no_remat(rng):
+    """Every remat policy (attn layers checkpoint via the shared
+    layers.maybe_remat) must be loss- and grad-equivalent to no remat."""
     cfg = ATTN_CFGS[0]
-    model_r = Forecaster(dataclasses.replace(cfg, remat=True), OBS, PRED)
     model_n = Forecaster(dataclasses.replace(cfg, remat=False), OBS, PRED)
-    params = model_r.init(jax.random.PRNGKey(0))
+    params = model_n.init(jax.random.PRNGKey(0))
     xy, mask = _batch(rng)
     f = lambda m: jax.value_and_grad(  # noqa: E731
         lambda p: m.loss(p, xy, mask, _stats())[0]
     )(params)
-    (l_r, g_r), (l_n, g_n) = f(model_r), f(model_n)
-    np.testing.assert_allclose(float(l_r), float(l_n), rtol=1e-6)
-    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_n)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    l_n, g_n = f(model_n)
+    for policy in ("full", "dots", "dots_no_batch"):
+        model_r = Forecaster(
+            dataclasses.replace(cfg, remat=True, remat_policy=policy), OBS, PRED)
+        l_r, g_r = f(model_r)
+        np.testing.assert_allclose(float(l_r), float(l_n), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_n)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
 
 
 def test_variety_loss_composes(rng):

@@ -185,6 +185,20 @@ def test_eval_loo_ensemble_cli(loo_tree, capsys):
         assert scene in out_txt
 
 
+def test_eval_loo_mixed_trees_cli(loo_tree, capsys):
+    """Several --loo-dir trees pool through evaluate_mixed (heterogeneous
+    ensembles, e.g. different encoder families); without --ensemble they
+    are rejected."""
+    out, _ = loo_tree
+    with pytest.raises(SystemExit):
+        main(["eval-loo", "--loo-dir", out, out])  # needs --ensemble
+    capsys.readouterr()
+    assert main(["eval-loo", "--loo-dir", out, out, "--ensemble"]) == 0
+    out_txt = capsys.readouterr().out
+    assert "ensemble[4] scene=eth:" in out_txt  # 2 trees x 2 seeds
+    assert "leave-one-out eval (best-of-2, per_agent ensemble=4" in out_txt
+
+
 def test_predict_cli_oversample(synth_dir, ck3, tmp_path, capsys):
     npz = str(tmp_path / "p_os.npz")
     assert main([

@@ -357,3 +357,70 @@ def test_tta_requires_sampled_gmm(setup):
         evaluate(model, params, stats, ds, k=2, tta=0)
     with pytest.raises(ValueError, match="tta"):
         evaluate(model, params, stats, ds, k=2, tta=2, rollout="modes")
+
+
+def test_mixed_ensemble_matches_homogeneous(setup):
+    """evaluate_mixed with same-architecture members reproduces the
+    stacked-vmap deep-ensemble path exactly (same member RNG streams, same
+    pooling/selection/NLL semantics), and a single member reproduces the
+    plain protocol."""
+    from mmtraj.evaluate import evaluate_mixed
+
+    rng, model, params, stats = setup
+    params_b = model.init(jax.random.PRNGKey(7))
+    ds = WindowDataset(_windows(rng, 6), n_max=8)
+    hom = evaluate(model, [params, params_b], stats, ds, k=3,
+                   batch_size=6, seed=0)
+    mix = evaluate_mixed([(model, params), (model, params_b)], stats, ds,
+                         k=3, batch_size=6, seed=0)
+    for key in ("min_ade", "min_fde", "miss_rate_2m", "collision_rate"):
+        assert hom[key] == mix[key], key
+    np.testing.assert_allclose(hom["nll"], mix["nll"], rtol=1e-6)
+    plain = evaluate(model, params, stats, ds, k=3, batch_size=6, seed=0)
+    one = evaluate_mixed([(model, params)], stats, ds, k=3,
+                         batch_size=6, seed=0)
+    for key in ("min_ade", "min_fde", "miss_rate_2m", "collision_rate"):
+        assert plain[key] == one[key], key
+    np.testing.assert_allclose(plain["nll"], one["nll"], rtol=1e-6)
+
+
+def test_mixed_ensemble_cross_family(setup):
+    """Heterogeneous members (rnn + attn encoder families) pool into one
+    best-of-K protocol: tagged, finite, exactly batch-size invariant, and
+    composing with oversample + per_window like the homogeneous path."""
+    from mmtraj.evaluate import evaluate_mixed
+
+    rng, model, params, stats = setup
+    attn = Forecaster(
+        ModelConfig(num_heads=2, encoder="attn", attn_layers=1), 4, 3)
+    attn_p = attn.init(jax.random.PRNGKey(5))
+    ds = WindowDataset(_windows(rng, 6), n_max=8)
+    members = [(model, params), (attn, attn_p)]
+    m = evaluate_mixed(members, stats, ds, k=3, batch_size=6, seed=0)
+    assert m["ensemble"] == 2 and m["k"] == 3
+    assert np.isfinite(m["min_ade"]) and m["min_ade"] > 0
+    m2 = evaluate_mixed(members, stats, ds, k=3, batch_size=4, seed=0)
+    for key in ("min_ade", "min_fde", "miss_rate_2m", "collision_rate"):
+        assert m[key] == m2[key], key
+    np.testing.assert_allclose(m["nll"], m2["nll"], rtol=1e-6)
+    mo = evaluate_mixed(members, stats, ds, k=3, seed=0, oversample=2,
+                        reduction="per_window")
+    assert mo["oversample"] == 2 and mo["reduction"] == "per_window"
+    assert np.isfinite(mo["min_ade"]) and mo["min_ade"] > 0
+
+
+def test_mixed_ensemble_guards(setup):
+    from mmtraj.evaluate import evaluate_mixed
+
+    rng, model, params, stats = setup
+    ds = WindowDataset(_windows(rng, 2), n_max=8)
+    with pytest.raises(ValueError, match="empty"):
+        evaluate_mixed([], stats, ds, k=2)
+    det = Forecaster(ModelConfig(head="deterministic"), 4, 3)
+    dp = det.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="GMM"):
+        evaluate_mixed([(model, params), (det, dp)], stats, ds, k=2)
+    other = Forecaster(model.cfg, 5, 2)
+    op = other.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="horizon"):
+        evaluate_mixed([(model, params), (other, op)], stats, ds, k=2)
