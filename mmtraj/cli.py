@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the whole protocol once per seed and report "
                          "mean±std (e.g. --seeds 0 1 2); with --scene all "
                          "this is the full multi-seed leave-one-out table")
+    tp.add_argument("--vmap-seeds", action="store_true",
+                    help="train the --seeds sweep as ONE vmapped population "
+                         "program (mmtraj/population.py): every seed's run "
+                         "advances per train step in a single XLA dispatch. "
+                         "Same per-seed math/data/RNG as sequential runs "
+                         "(tested), same s{seed}/ checkpoint tree; periodic "
+                         "eval is deferred to the end (use eval-loo). "
+                         "Requires resident single-device training")
     tp.add_argument("--out-dir", default=None)
     tp.add_argument("--eval-every", type=int, default=None)
     tp.add_argument("--data-parallel", action="store_true")
@@ -340,6 +348,46 @@ def _load_eval_dataset(cfg, auto_n_max: bool, context: str):
     return ds, n_max
 
 
+def _vmap_seeds_guard(parser, args) -> None:
+    """--vmap-seeds preconditions (mmtraj/population.py scope), surfaced as
+    parser errors before any data/model work."""
+    if args.seeds is None or len(args.seeds) < 2:
+        parser.error("--vmap-seeds requires --seeds with >= 2 seeds")
+    if args.resume:
+        parser.error("--vmap-seeds does not support --resume")
+    if args.stream:
+        parser.error("--vmap-seeds requires resident ingest (drop --stream)")
+    if args.data_parallel:
+        parser.error("--vmap-seeds is a single-device program "
+                     "(drop --data-parallel)")
+
+
+def _print_loo_seed_table(args, seeds, per_seed) -> None:
+    """The multi-seed leave-one-out table: per-scene mean±std over seeds,
+    shared by the sequential and --vmap-seeds protocol drivers."""
+    import statistics as _st
+
+    print(f"\nleave-one-out (config {args.config}, "
+          f"{len(seeds)} seeds {seeds}): mean ± std over seeds")
+    print(f"{'scene':8s} {'ADE(m)':>16s} {'FDE(m)':>16s}")
+    avg_a, avg_f = [], []
+    for i, scene in enumerate(SCENES):
+        a = [_nan(rows[i][1]) for rows in per_seed]
+        f = [_nan(rows[i][2]) for rows in per_seed]
+        print(f"{scene:8s} {_st.mean(a):8.4f}±{_st.stdev(a):6.4f} "
+              f"{_st.mean(f):8.4f}±{_st.stdev(f):6.4f}")
+    for rows in per_seed:
+        avg_a.append(sum(_nan(r[1]) for r in rows) / len(rows))
+        avg_f.append(sum(_nan(r[2]) for r in rows) / len(rows))
+    k_any = next(
+        (r[3] for rows in per_seed for r in rows if r[1] is not None),
+        None,
+    )
+    print(f"{'AVG':8s} {_st.mean(avg_a):8.4f}±{_st.stdev(avg_a):6.4f} "
+          f"{_st.mean(avg_f):8.4f}±{_st.stdev(avg_f):6.4f} "
+          f"(best-of-{k_any})")
+
+
 def _nan(x):
     """None (a fold with nothing to eval) -> NaN so tables print instead of
     crashing after all folds trained."""
@@ -424,6 +472,32 @@ def main(argv=None) -> int:
             enable_nan_debugging()
         seeds = args.seeds if args.seeds else [args.seed]
         base_out = args.out_dir
+        if args.vmap_seeds:
+            _vmap_seeds_guard(parser, args)
+            from mmtraj.population import fit_population
+
+            per_seed = [[] for _ in seeds]
+            for scene in SCENES:
+                args.scene = scene
+                args.seed = seeds[0]
+                args.out_dir = base_out
+                cfg = _apply_overrides(get_config(args.config), args)
+                out = cfg.train.out_dir
+                outs = [f"{out}/s{s}/{scene}" for s in seeds]
+                if args.synthetic and scene == SCENES[0]:
+                    from mmtraj.data.synthetic import write_synthetic_dataset
+
+                    write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
+                results = fit_population(cfg, seeds, out_dirs=outs)
+                for i, r in enumerate(results):
+                    m = r.eval_metrics or {}
+                    per_seed[i].append(
+                        (scene, m.get("min_ade"), m.get("min_fde"), m.get("k"))
+                    )
+                print(f"scene={scene}: trained population of {len(seeds)} "
+                      f"seeds in one program", flush=True)
+            _print_loo_seed_table(args, seeds, per_seed)
+            return 0
 
         def run_loo_once(seed):
             rows = []
@@ -473,27 +547,7 @@ def main(argv=None) -> int:
                 print(f"{'AVG':8s} {sum(ades)/len(ades):8.4f} "
                       f"{sum(fdes)/len(fdes):8.4f} (best-of-{k_any})")
         else:
-            import statistics as _st
-
-            print(f"\nleave-one-out (config {args.config}, "
-                  f"{len(seeds)} seeds {seeds}): mean ± std over seeds")
-            print(f"{'scene':8s} {'ADE(m)':>16s} {'FDE(m)':>16s}")
-            avg_a, avg_f = [], []
-            for i, scene in enumerate(SCENES):
-                a = [_nan(rows[i][1]) for rows in per_seed]
-                f = [_nan(rows[i][2]) for rows in per_seed]
-                print(f"{scene:8s} {_st.mean(a):8.4f}±{_st.stdev(a):6.4f} "
-                      f"{_st.mean(f):8.4f}±{_st.stdev(f):6.4f}")
-            for rows in per_seed:
-                avg_a.append(sum(_nan(r[1]) for r in rows) / len(rows))
-                avg_f.append(sum(_nan(r[2]) for r in rows) / len(rows))
-            k_any = next(
-                (r[3] for rows in per_seed for r in rows if r[1] is not None),
-                None,
-            )
-            print(f"{'AVG':8s} {_st.mean(avg_a):8.4f}±{_st.stdev(avg_a):6.4f} "
-                  f"{_st.mean(avg_f):8.4f}±{_st.stdev(avg_f):6.4f} "
-                  f"(best-of-{k_any})")
+            _print_loo_seed_table(args, seeds, per_seed)
         return 0
 
     if args.cmd == "train":
@@ -505,7 +559,24 @@ def main(argv=None) -> int:
         seeds = args.seeds if args.seeds else [args.seed]
         base_out = args.out_dir
         finals = []
-        for seed in seeds:
+        if args.vmap_seeds:
+            _vmap_seeds_guard(parser, args)
+            from mmtraj.population import fit_population
+
+            args.seed = seeds[0]
+            cfg = _apply_overrides(get_config(args.config), args)
+            if args.synthetic:
+                from mmtraj.data.synthetic import write_synthetic_dataset
+
+                write_synthetic_dataset(cfg.data.data_dir, cfg.train.seed)
+            for seed, result in zip(seeds, fit_population(cfg, seeds)):
+                if result.eval_metrics:
+                    finals.append(result.eval_metrics)
+                    print(f"final (seed {seed}): "
+                          f"best-of-{result.eval_metrics['k']} "
+                          f"ADE={result.eval_metrics['min_ade']:.4f}m "
+                          f"FDE={result.eval_metrics['min_fde']:.4f}m")
+        for seed in ([] if args.vmap_seeds else seeds):
             args.seed = seed
             args.out_dir = base_out
             cfg = _apply_overrides(get_config(args.config), args)

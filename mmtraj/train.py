@@ -59,23 +59,25 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
-def _build_grad_and_update(
+def _build_grad_core(
     model: Forecaster,
     optimizer,
     stats: NormStats,
     augment_rotate: bool,
     augment_flip: bool,
-    seed: int,
     loss_mode: str,
     variety_n: int,
     variety_weight: float,
     variety_fde_weight: float,
 ):
-    """The one-step core shared by `make_train_step` (one dispatch per step)
-    and `make_multi_train_step` (a scan of steps per dispatch): (params,
-    opt_state, xy, mask, step_idx) -> (params, opt_state, loss), with all
-    per-step RNG (augment/dropout/WTA draws) derived in-program from
-    ``fold_in(seed-derived base key, step_idx)``.  Returns (fn, needs_rng)."""
+    """The seed-generic one-step core: (params, opt_state, xy, mask,
+    step_idx, base_key) -> (params, opt_state, loss), with all per-step RNG
+    (augment/dropout/WTA draws) derived in-program from
+    ``fold_in(base_key, step_idx)``.  ``base_key`` is a traced argument so
+    the same compiled core serves one seed (`_build_grad_and_update` closes
+    it over the run's key) or a vmapped population of seeds
+    (mmtraj/population.py maps it over a stacked key axis).
+    Returns (core, needs_rng)."""
     if loss_mode not in ("nll", "variety", "hybrid"):
         raise ValueError(f"unknown loss mode {loss_mode!r}")
     mean = jnp.asarray(stats.mean)
@@ -83,9 +85,8 @@ def _build_grad_and_update(
     use_dropout = model.cfg.dropout > 0.0
     use_variety = loss_mode != "nll"
     needs_rng = augment_rotate or augment_flip or use_dropout or use_variety
-    base_key = jax.random.PRNGKey(seed ^ 0x5EED) if needs_rng else None
 
-    def grad_and_update(params, opt_state, xy, mask, step_idx):
+    def grad_and_update(params, opt_state, xy, mask, step_idx, base_key):
         s = NormStats(mean, std)
         dkey = vkey = None
         if needs_rng:
@@ -118,6 +119,35 @@ def _build_grad_and_update(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    return grad_and_update, needs_rng
+
+
+def _build_grad_and_update(
+    model: Forecaster,
+    optimizer,
+    stats: NormStats,
+    augment_rotate: bool,
+    augment_flip: bool,
+    seed: int,
+    loss_mode: str,
+    variety_n: int,
+    variety_weight: float,
+    variety_fde_weight: float,
+):
+    """The one-step core shared by `make_train_step` (one dispatch per step)
+    and `make_multi_train_step` (a scan of steps per dispatch): (params,
+    opt_state, xy, mask, step_idx) -> (params, opt_state, loss), with the
+    run's RNG base key (``PRNGKey(seed ^ 0x5EED)``) closed over the
+    seed-generic `_build_grad_core`.  Returns (fn, needs_rng)."""
+    core, needs_rng = _build_grad_core(
+        model, optimizer, stats, augment_rotate, augment_flip,
+        loss_mode, variety_n, variety_weight, variety_fde_weight,
+    )
+    base_key = jax.random.PRNGKey(seed ^ 0x5EED) if needs_rng else None
+
+    def grad_and_update(params, opt_state, xy, mask, step_idx):
+        return core(params, opt_state, xy, mask, step_idx, base_key)
 
     return grad_and_update, needs_rng
 

@@ -185,6 +185,57 @@ def test_eval_loo_ensemble_cli(loo_tree, capsys):
         assert scene in out_txt
 
 
+def test_train_vmap_seeds_cli(synth_dir, tmp_path, capsys):
+    """--vmap-seeds trains the seed sweep as one population program and
+    writes the same s{seed}/ tree; guards reject unsupported compositions."""
+    out = str(tmp_path / "pop")
+    assert main([
+        "train", "--config", "3", "--data-dir", synth_dir, "--scene", "zara2",
+        "--seeds", "0", "1", "--vmap-seeds", "--steps", "4",
+        "--batch-size", "8", "--k", "2", "--n-max", "16", "--out-dir", out,
+    ]) == 0
+    txt = capsys.readouterr().out
+    assert "final (seed 0):" in txt and "final (seed 1):" in txt
+    assert "over 2 seeds:" in txt
+    import os
+
+    from mmtraj import checkpoint as ckpt_lib
+
+    for seed in (0, 1):
+        ck = ckpt_lib.load(os.path.join(out, f"s{seed}", "checkpoint.npz"))
+        assert ck.config.train.seed == seed
+    for bad in (["--vmap-seeds"],  # no --seeds
+                ["--seeds", "0", "1", "--vmap-seeds", "--stream"],
+                ["--seeds", "0", "1", "--vmap-seeds", "--resume"],
+                ["--seeds", "0", "1", "--vmap-seeds", "--data-parallel"]):
+        with pytest.raises(SystemExit):
+            main(["train", "--config", "3", "--data-dir", synth_dir,
+                  "--scene", "zara2", "--steps", "2", "--out-dir", out] + bad)
+        capsys.readouterr()
+
+
+def test_train_loo_vmap_seeds_cli(synth_dir, tmp_path, capsys):
+    """--scene all --vmap-seeds: each fold trains its seed population in one
+    program; the mean±std table and the s{seed}/{scene} tree match the
+    sequential driver's format."""
+    import os
+
+    out = str(tmp_path / "poploo")
+    assert main([
+        "train", "--config", "3", "--data-dir", synth_dir, "--scene", "all",
+        "--seeds", "0", "1", "--vmap-seeds", "--steps", "2",
+        "--batch-size", "8", "--k", "2", "--n-max", "16", "--out-dir", out,
+        "--eval-every", "0",
+    ]) == 0
+    txt = capsys.readouterr().out
+    assert "2 seeds [0, 1]): mean ± std over seeds" in txt
+    assert "AVG" in txt
+    for seed in (0, 1):
+        for scene in ("eth", "zara2"):
+            assert os.path.exists(
+                os.path.join(out, f"s{seed}", scene, "checkpoint.npz"))
+
+
 def test_eval_loo_mixed_trees_cli(loo_tree, capsys):
     """Several --loo-dir trees pool through evaluate_mixed (heterogeneous
     ensembles, e.g. different encoder families); without --ensemble they
