@@ -38,6 +38,10 @@ def __getattr__(name):  # lazy top-level API (keeps `import mmtraj` light)
         from mmtraj.evaluate import evaluate
 
         return evaluate
+    if name == "fit_population":
+        from mmtraj.population import fit_population
+
+        return fit_population
     if name == "checkpoint":
         import mmtraj.checkpoint as checkpoint
 
