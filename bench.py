@@ -23,16 +23,16 @@ Prints exactly ONE JSON line to stdout; progress goes to stderr.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
-# Persistent compile cache: the Pallas-in-vmap-in-scan program is expensive to
-# compile cold (minutes); cached reruns start in seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent compile cache: the full-unroll eval program is expensive to
+# compile cold (808 s in BENCH_r03); cached reruns start in seconds.  Env vars
+# are read too late on this machine (the axon sitecustomize imports jax at
+# interpreter startup), so this must go through jax.config.update — done by
+# enable_compile_cache() inside main() after the mmtraj import.
 
 
 def log(msg: str) -> None:
@@ -48,6 +48,10 @@ def main() -> int:
     from mmtraj.config import get_config
     from mmtraj.data.transforms import NormStats
     from mmtraj.models.forecaster import Forecaster
+    from mmtraj.utils.compile_cache import enable_compile_cache
+
+    cache_dir = enable_compile_cache()
+    log(f"compile cache: {cache_dir}")
 
     cfg = get_config("4")  # flagship: multi-head GAT, GMM, dense crowds
     on_tpu = jax.default_backend() == "tpu"

@@ -137,6 +137,9 @@ def op_sweep(num_heads: int = 4, dh: int = 16, iters: int = 200) -> None:
 
 
 def main(argv=None) -> None:
+    from mmtraj.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--end-to-end", action="store_true")
     ap.add_argument("--op-sweep", action="store_true")

@@ -175,6 +175,9 @@ def bench_serve_loop(model, params, stats, *, n: int, k: int,
 
 
 def main(argv=None) -> int:
+    from mmtraj.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batches", default="1,8,25,64")
     ap.add_argument("--k", type=int, default=20)

@@ -26,7 +26,6 @@ import dataclasses
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mmtraj.config import config4
@@ -118,6 +117,9 @@ def bench_ingest(n_windows: int = 20000, batch_size: int = 256,
 
 
 def main(argv=None) -> None:
+    from mmtraj.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--windows", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=256)

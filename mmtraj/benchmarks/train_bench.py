@@ -190,6 +190,9 @@ def _fmt(r: TrainBenchResult) -> str:
 
 
 def main(argv=None) -> None:
+    from mmtraj.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))

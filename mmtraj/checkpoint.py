@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, NoReturn, Optional
 
 import jax
 import numpy as np
@@ -266,7 +266,7 @@ class CheckpointError(RuntimeError):
     traceback (VERDICT round-1 weakness #4)."""
 
 
-def _fail(path: str, fmt: str, err: Exception) -> "NoReturn":  # noqa: F821
+def _fail(path: str, fmt: str, err: Exception) -> NoReturn:
     raise CheckpointError(
         f"failed to load checkpoint {path!r} as {fmt}: "
         f"{type(err).__name__}: {err}"

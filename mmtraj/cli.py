@@ -360,6 +360,14 @@ def _vmap_seeds_guard(parser, args) -> None:
     if args.data_parallel:
         parser.error("--vmap-seeds is a single-device program "
                      "(drop --data-parallel)")
+    if getattr(args, "tensorboard", False):
+        parser.error("--vmap-seeds does not write per-seed TensorBoard "
+                     "traces (drop --tensorboard; JSONL metrics are still "
+                     "written, with per-seed loss rows)")
+    if getattr(args, "profile", None):
+        parser.error("--vmap-seeds does not support --profile (the S-seed "
+                     "program interleaves all seeds; profile a single-seed "
+                     "run instead)")
 
 
 def _print_loo_seed_table(args, seeds, per_seed) -> None:
@@ -450,6 +458,16 @@ def _apply_overrides(cfg, args):
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    # Persistent XLA compile cache, on by default for every subcommand (the
+    # flagship eval program compiles in minutes cold, seconds warm).  Control
+    # with MMTRAJ_COMPILE_CACHE=<dir>|off (utils/compile_cache.py explains
+    # why this must be config.update, not env vars, on this machine).
+    from mmtraj.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+
     if getattr(args, "scene", None) == "all" and args.cmd not in ("train", "baseline"):
         parser.error("--scene all (5-fold leave-one-out) is train/baseline-only")
 
@@ -676,15 +694,30 @@ def main(argv=None) -> int:
             parser.error("multiple --loo-dir trees require --ensemble "
                          "(they pool into one heterogeneous ensemble)")
 
+        if args.ensemble and args.rollout != "sample":
+            parser.error("--ensemble requires sampled rollouts")
+
         def tree_seeds(tree):
-            if args.seeds is not None:
-                return args.seeds
             # train --scene all writes {out}/{scene} for one seed and
             # {out}/s{seed}/{scene} for --seeds runs; detect which.
             sdirs = sorted(
                 int(d[1:]) for d in os.listdir(tree)
                 if d.startswith("s") and d[1:].isdigit()
             )
+            if args.seeds is not None:
+                # An explicit --seeds list applies uniformly to EVERY tree
+                # (per-tree seed selection isn't expressible — pool distinct
+                # trees instead, as experiments/mixed_loo.py does).  Validate
+                # the layout up front so a flat single-seed tree fails here
+                # with its name, not mid-load with a missing-path error.
+                missing = [s for s in args.seeds if s not in sdirs]
+                if missing:
+                    found = sdirs if sdirs else "a flat single-seed layout"
+                    parser.error(
+                        f"--seeds {args.seeds} applies to every --loo-dir "
+                        f"tree, but {tree!r} has no s{{seed}}/ dirs for "
+                        f"{missing} (found: {found})")
+                return args.seeds
             return sdirs or [None]
 
         seeds_by_tree = {tree: tree_seeds(tree) for tree in trees}
@@ -728,8 +761,6 @@ def main(argv=None) -> int:
                 if len(trees) == 1:
                     # Same-architecture members: the stacked-vmap path (one
                     # compiled program; bit-compatible with recorded tables).
-                    if args.rollout != "sample":
-                        parser.error("--ensemble requires sampled rollouts")
                     m = evaluate(model, [p for _, p in members], ck.stats, ds,
                                  cfg.train.k_samples, seed=args.seed,
                                  reduction=args.reduction, rollout=args.rollout,
@@ -740,8 +771,6 @@ def main(argv=None) -> int:
                     # per distinct model, shared candidate pool + selection.
                     from mmtraj.evaluate import evaluate_mixed
 
-                    if args.rollout != "sample":
-                        parser.error("--ensemble requires sampled rollouts")
                     m = evaluate_mixed(members, ck.stats, ds,
                                        cfg.train.k_samples, seed=args.seed,
                                        reduction=args.reduction,

@@ -11,7 +11,7 @@ program).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -70,10 +70,14 @@ def autotune_eval_batch(model: Forecaster, params, stats: NormStats,
     scoped-VMEM alpha cliff); on other TPU generations the cliff moves and
     the analytic constant is silently wrong (VERDICT r2 weak #5).  This
     times the actual K-sample rollout at a handful of candidate batches
-    bracketing the analytic guess and returns the fastest per-window —
-    ~a minute of one-off compile+measure that replaces the constant with a
-    measurement.  Use via `cli autotune-eval`, then pass the winner as
-    ``batch_size=`` / ``--batch-size``."""
+    bracketing the analytic guess and returns the fastest per-window.
+    Compile cost: each candidate is a distinct program; the full-unroll
+    variants compile in MINUTES cold on the tunnel (BENCH_r03 measured
+    808 s for one flagship program) but land in the persistent compile
+    cache (utils/compile_cache.py, on by default in the CLI), so rerunning
+    the autotuner — or evaluating at the winning batch afterwards — pays
+    seconds, not minutes.  Use via `cli autotune-eval`, then pass the
+    winner as ``batch_size=`` / ``--batch-size``."""
     import time
 
     if model.cfg.scan_unroll == 1:

@@ -14,11 +14,10 @@ this is the TPU-native equivalent of shipping a frozen inference graph.
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def make_predictor(model, params, stats, k: int, oversample: int = 1) -> Callable:

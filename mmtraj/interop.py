@@ -315,10 +315,6 @@ def _cell_to_keras(p: Params, kind: str) -> Dict[str, np.ndarray]:
     return {"kernel": wx, "recurrent_kernel": _np32(p["wh"]), "bias": b}
 
 
-def _gat_keras_names() -> Tuple[str, ...]:
-    return ("value_kernel", "attn_src", "attn_dst", "out_kernel", "out_bias")
-
-
 def export_keras_weights(params: Params, cfg: ModelConfig) -> Dict[str, Dict[str, np.ndarray]]:
     """mmtraj params -> {layer_name: {weight_name: array}} in Keras
     conventions (kernel (in, out), GRU dual bias, LSTM forget +1)."""

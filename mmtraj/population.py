@@ -54,8 +54,6 @@ Scope (v1, documented):
 from __future__ import annotations
 
 import dataclasses
-import itertools
-import math
 import os
 import time
 from typing import Optional, Sequence
@@ -211,11 +209,9 @@ def fit_population(
     )
 
     # Per-seed index streams: exactly the sequential trainer's (seed, epoch)
-    # permutation streams, zipped across seeds into (S, B) rows.
-    batches_per_epoch = max(
-        1, math.ceil(train_ds.n_windows / cfg.train.batch_size)
-    )
-
+    # permutation streams, zipped across seeds into (S, B) rows.  Streams
+    # advance in lockstep — every seed consumes the same number of batches
+    # per dispatch, so epoch boundaries stay aligned across the population.
     def seed_index_stream(seed: int):
         e = 0
         while True:
@@ -224,7 +220,6 @@ def fit_population(
             e += 1
 
     streams = [seed_index_stream(s) for s in seeds]
-    del batches_per_epoch  # documented alignment: streams advance in lockstep
 
     xy_all, mask_all = device_ds.xy, device_ds.mask
     spd = max(1, cfg.train.steps_per_dispatch)
@@ -240,8 +235,13 @@ def fit_population(
             cfg_s = cfg.replace(train=dataclasses.replace(
                 cfg.train, seed=seed, out_dir=out))
             p_i = jax.tree.map(lambda a: a[i], params)
+            # Slice this seed's optimizer state too (every leaf carries the
+            # leading S axis from the vmapped init), so `train --resume` on a
+            # population-written tree continues the optimizer rather than
+            # silently reinitializing it — same file shape as sequential fit.
+            o_i = jax.tree.map(lambda a: a[i], opt_state)
             ckpt_lib.save(os.path.join(out, "checkpoint.npz"),
-                          p_i, stats, cfg_s, at_step)
+                          p_i, stats, cfg_s, at_step, o_i)
             if ema_decay > 0:
                 e_i = jax.tree.map(lambda a: a[i], ema)
                 ckpt_lib.save(os.path.join(out, "checkpoint_ema.npz"),

@@ -1,0 +1,71 @@
+"""Persistent XLA compilation cache (VERDICT r3 next-round #3).
+
+Cold-start compile is the dominant fixed cost of every mmtraj surface on the
+real chip: the flagship full-unroll eval program paid 808 s in BENCH_r03, the
+S=5 population program ~300 s, the oversample export lowering ~210 s.  JAX's
+persistent compilation cache amortizes all of that across processes — but on
+this machine it CANNOT be enabled via environment variables from inside a
+script: the axon sitecustomize imports jax at interpreter startup (to register
+the TPU PJRT plugin), so `JAX_COMPILATION_CACHE_DIR` set in a script body is
+read too late and silently ignored.  `jax.config.update` after import works on
+both the axon TPU backend and CPU (probe-verified this round: env-in-body →
+no cache dir created; config.update → cache files written).
+
+`enable_compile_cache()` is therefore the one supported way to turn the cache
+on in-process, and every mmtraj entry point (CLI, bench.py, benchmarks) calls
+it by default.  Users control it with the MMTRAJ_COMPILE_CACHE env var:
+
+  unset / empty    → default dir  ~/.cache/mmtraj/xla  (created on demand)
+  a path           → that directory
+  "0"/"off"/"none" → disabled
+
+Reference counterpart: none — the reference is an eager CPU/GPU loop with no
+compilation step (SURVEY.md §1 L0); this is a TPU-native runtime obligation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+_OFF = ("0", "off", "none", "false")
+
+
+def resolve_cache_dir(path: Optional[str] = None) -> Optional[str]:
+    """Explicit arg > MMTRAJ_COMPILE_CACHE env > per-user default.
+
+    Returns None when disabled (arg or env set to one of {0, off, none,
+    false}, case-insensitive)."""
+    if path is None:
+        path = os.environ.get("MMTRAJ_COMPILE_CACHE") or None
+    if path is not None and path.lower() in _OFF:
+        return None
+    if path is None:
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "mmtraj", "xla")
+    return path
+
+
+def enable_compile_cache(path: Optional[str] = None,
+                         min_compile_secs: float = 1.0) -> Optional[str]:
+    """Enable JAX's persistent compilation cache in-process.
+
+    Idempotent; safe before or after backend init.  Returns the resolved
+    cache directory, or None if disabled.  min_compile_secs=1.0 skips
+    caching trivial programs (the cache's own default of 1 s) — the
+    programs that matter here compile in minutes.
+    """
+    resolved = resolve_cache_dir(path)
+    if resolved is None:
+        return None
+    os.makedirs(resolved, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", resolved)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    # Cache regardless of how long ago the entry was written (the default
+    # policy already does this; pinned explicitly so a jax upgrade changing
+    # the default doesn't silently stop caching the long-compile programs).
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return resolved

@@ -11,9 +11,6 @@ import os
 # Force CPU regardless of the ambient JAX_PLATFORMS (the machine presets
 # JAX_PLATFORMS=axon for the real TPU; tests must use the virtual mesh).
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compile cache: the scan-heavy model paths dominate test wall time.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -23,6 +20,13 @@ import jax  # noqa: E402
 # The machine's sitecustomize force-registers the axon TPU platform even when
 # JAX_PLATFORMS=cpu is in the env; the config update (pre-backend-init) wins.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the scan-heavy model paths dominate test wall
+# time.  Must be config.update, NOT env vars — sitecustomize imports jax at
+# interpreter startup, so env set here is read too late and silently ignored
+# (measured: the r3-era env lines never wrote a single entry during a suite
+# run).  See mmtraj/utils/compile_cache.py.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -12,7 +12,7 @@ import pytest
 from mmtraj.config import ModelConfig, get_config
 from mmtraj.data.transforms import NormStats
 from mmtraj.models.forecaster import Forecaster
-from mmtraj.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from mmtraj.parallel.mesh import make_mesh, replicated, shard_batch
 from mmtraj.train import fit, make_optimizer, make_train_step
 
 

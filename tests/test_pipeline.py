@@ -1,7 +1,6 @@
 """HBM pipeline tests: device-resident gather + prefetch generator."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mmtraj.data.collate import WindowDataset
