@@ -6,6 +6,10 @@ candidates), ens5 + 3 attn (8 members, 160 candidates)."""
 import math
 import time
 
+from mmtraj.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from mmtraj import checkpoint as ckpt_lib
 from mmtraj.data.collate import WindowDataset
 from mmtraj.data.registry import load_split
@@ -40,7 +44,8 @@ for scene in SCENES:
                   rnn[0].stats, ds, 20, seed=0)
     ra, rf = RECORDED_ENS5[scene]
     print(f"{scene:8s} rnn ens5     ADE={m5['min_ade']:.4f} "
-          f"FDE={m5['min_fde']:.4f}  (recorded {ra:.4f}/{rf:.4f} "
+          f"FDE={m5['min_fde']:.4f} MR={m5['miss_rate_2m']:.4f} "
+          f"(recorded {ra:.4f}/{rf:.4f} "
           f"d={m5['min_ade']-ra:+.4f}/{m5['min_fde']-rf:+.4f})", flush=True)
     m6 = evaluate_mixed([member(c) for c in rnn + attn[:1]],
                         rnn[0].stats, ds, 20, seed=0)

@@ -60,6 +60,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "per-frame GAT — mmtraj/models/attn_encoder.py)")
     tp.add_argument("--attn-layers", type=int, default=None,
                     help="transformer blocks for --encoder attn (default 2)")
+    tp.add_argument("--social", dest="social", action="store_true",
+                    default=None,
+                    help="enable the per-frame social GAT (presets 2-5 "
+                         "default on; see --no-social)")
+    tp.add_argument("--no-social", dest="social", action="store_false",
+                    help="ablate the social graph: per-agent recurrence "
+                         "only, no GAT message passing (BASELINE.json:5's "
+                         "defining mechanism — this flag measures what it "
+                         "buys; RESULTS.md 'Social-graph ablation')")
+    tp.add_argument("--num-heads", type=int, default=None,
+                    help="GAT attention heads (preset 3: 1; preset 4/5: 4)")
+    tp.add_argument("--adjacency-radius", type=float, default=None,
+                    help="proximity-graph radius in meters; <=0 means "
+                         "fully connected over co-present agents")
     tp.add_argument("--hidden-dim", type=int, default=None,
                     help="cell/GAT hidden width (default 64)")
     tp.add_argument("--remat-policy", default=None,
@@ -440,6 +454,12 @@ def _apply_overrides(cfg, args):
         mk["num_mixtures"] = args.num_mixtures
     if getattr(args, "hidden_dim", None) is not None:
         mk["hidden_dim"] = args.hidden_dim
+    if getattr(args, "social", None) is not None:
+        mk["social"] = args.social
+    if getattr(args, "num_heads", None) is not None:
+        mk["num_heads"] = args.num_heads
+    if getattr(args, "adjacency_radius", None) is not None:
+        mk["adjacency_radius"] = args.adjacency_radius
     if getattr(args, "encoder", None) is not None:
         mk["encoder"] = args.encoder
     if getattr(args, "attn_layers", None) is not None:
