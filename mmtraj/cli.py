@@ -371,9 +371,8 @@ def _vmap_seeds_guard(parser, args) -> None:
         parser.error("--vmap-seeds does not support --resume")
     if args.stream:
         parser.error("--vmap-seeds requires resident ingest (drop --stream)")
-    if args.data_parallel:
-        parser.error("--vmap-seeds is a single-device program "
-                     "(drop --data-parallel)")
+    # --data-parallel composes with --vmap-seeds (vmap inside pjit; parity
+    # pinned in tests/test_population.py) — no guard needed.
     if getattr(args, "tensorboard", False):
         parser.error("--vmap-seeds does not write per-seed TensorBoard "
                      "traces (drop --tensorboard; JSONL metrics are still "

@@ -42,9 +42,17 @@ so `eval-loo` (incl. --ensemble) consumes them unchanged.
 Scope (v1, documented):
 - resident ingest only (the population program gathers in-program, exactly
   like steps_per_dispatch > 1; `stream=True` raises);
-- single-device program (population parallelism IS the batch-axis filler at
-  these shapes; `data_parallel` composes conceptually — vmap inside pjit —
-  but is rejected until measured);
+- `data_parallel` composes (vmap inside pjit): the per-seed batch axis is
+  sharded over the mesh, states and the resident window set replicated, and
+  XLA partitions the in-program gather + derives the per-seed grad
+  all-reduce from the shardings.  Correctness is pinned on the virtual
+  8-device mesh (tests/test_population.py::test_population_data_parallel
+  matches the single-device population program).  Whether it *helps* is a
+  shape question: at sweep shapes (B=32-64 per seed) an eighth of a batch
+  is 4-8 windows per chip — far below the B=25 MXU knee measured in
+  ARCHITECTURE.md pt 8 — so DP pays off only when S×B outgrows one chip's
+  HBM or step latency, not at the recorded recipes (single-chip hardware
+  here; the composition is validated, not endorsed, at these shapes);
 - periodic eval is skipped (final per-seed eval always runs; evaluating S
   members every ``eval_every`` would serialize S eval programs into the
   training stream — use `eval-loo` on the written tree instead); periodic
@@ -85,6 +93,7 @@ def make_population_step(
     variety_n: int = 8,
     variety_weight: float = 1.0,
     variety_fde_weight: float = 0.0,
+    mesh=None,
 ):
     """Build the jitted population program.
 
@@ -94,6 +103,14 @@ def make_population_step(
     indices into the shared resident window set, ``step_ids`` is (M,), and
     ``base_keys`` is the (S,)-stacked per-seed RNG base keys.  ``losses``
     is (M, S).  One M-step dispatch advances all S runs.
+
+    With ``mesh``, the program composes population (vmap over S) with data
+    parallelism (pjit over the mesh): the per-seed batch axis of
+    ``idx_chunk`` is sharded over 'data', states and the resident window
+    set are replicated, and XLA partitions the in-program gather + derives
+    the per-seed gradient all-reduce from the shardings — vmap-inside-pjit.
+    Parity with the single-device population program is pinned on the
+    virtual 8-device mesh by tests/test_population.py.
     """
     core, needs_rng = _build_grad_core(
         model, optimizer, stats, augment_rotate, augment_flip,
@@ -125,7 +142,25 @@ def make_population_step(
         )
         return params, opt_state, ema, losses
 
-    return jax.jit(pop, donate_argnums=(0, 1, 2)), needs_rng
+    if mesh is None:
+        return jax.jit(pop, donate_argnums=(0, 1, 2)), needs_rng
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmtraj.parallel.mesh import DATA_AXIS, replicated
+
+    rep = replicated(mesh)
+    # idx_chunk is (M, S, B): shard the per-seed batch axis over 'data'.
+    # Everything else (states with their leading S axis, the resident window
+    # set the gather reads from, step ids, per-seed keys) is replicated; XLA
+    # partitions the gather and the per-seed grad mean from these shardings.
+    idx_shd = NamedSharding(mesh, P(None, None, DATA_AXIS))
+    return jax.jit(
+        pop,
+        in_shardings=(rep, rep, rep, rep, rep, idx_shd, rep, rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2),
+    ), needs_rng
 
 
 def fit_population(
@@ -153,11 +188,15 @@ def fit_population(
             "each seed lane gathers its batches in-program from the "
             "HBM-resident window set"
         )
+    mesh = None
     if cfg.train.data_parallel:
-        raise ValueError(
-            "population training is a single-device program (the seed axis "
-            "already fills the chip at sweep shapes); data_parallel=False"
-        )
+        from mmtraj.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if cfg.train.batch_size % mesh.size:
+            raise ValueError(
+                f"population data_parallel needs batch_size divisible by "
+                f"the mesh ({cfg.train.batch_size} % {mesh.size} != 0)")
     if out_dirs is None:
         base = cfg.train.out_dir
         out_dirs = [os.path.join(base, f"s{s}") if base else None
@@ -176,7 +215,12 @@ def fit_population(
     stats = compute_norm_stats(train_w, cfg.data.obs_len)
     train_ds = WindowDataset(train_w, cfg.data.n_max)
     test_ds = WindowDataset(test_w, cfg.data.n_max) if test_w else None
-    device_ds = DeviceDataset(train_ds)
+    if mesh is not None:
+        from mmtraj.parallel.mesh import replicated
+
+        device_ds = DeviceDataset(train_ds, sharding=replicated(mesh))
+    else:
+        device_ds = DeviceDataset(train_ds)
 
     model = Forecaster(cfg.model, cfg.data.obs_len, cfg.data.pred_len)
     S = len(seeds)
@@ -196,6 +240,7 @@ def fit_population(
         variety_n=cfg.train.variety_n,
         variety_weight=cfg.train.variety_weight,
         variety_fde_weight=cfg.train.variety_fde_weight,
+        mesh=mesh,
     )
 
     logger = logger or MetricsLogger(cfg.train.out_dir)

@@ -204,10 +204,12 @@ def test_train_vmap_seeds_cli(synth_dir, tmp_path, capsys):
     for seed in (0, 1):
         ck = ckpt_lib.load(os.path.join(out, f"s{seed}", "checkpoint.npz"))
         assert ck.config.train.seed == seed
+    # (--data-parallel now composes with --vmap-seeds: parity pinned by
+    # tests/test_population.py::test_population_data_parallel.)
     for bad in (["--vmap-seeds"],  # no --seeds
                 ["--seeds", "0", "1", "--vmap-seeds", "--stream"],
                 ["--seeds", "0", "1", "--vmap-seeds", "--resume"],
-                ["--seeds", "0", "1", "--vmap-seeds", "--data-parallel"]):
+                ["--seeds", "0", "1", "--vmap-seeds", "--tensorboard"]):
         with pytest.raises(SystemExit):
             main(["train", "--config", "3", "--data-dir", synth_dir,
                   "--scene", "zara2", "--steps", "2", "--out-dir", out] + bad)

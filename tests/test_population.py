@@ -91,16 +91,35 @@ def test_population_tree_layout_and_checkpoints(synth_dir, tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_population_data_parallel(synth_dir, tmp_path):
+    """Population x DP composes (VERDICT r3 next-round #6): the same 2-seed
+    population trained with the per-seed batch axis sharded over the virtual
+    8-device mesh must match the single-device population program — vmap
+    inside pjit, gather partitioned, grad all-reduce derived from shardings.
+    Full RNG surface on, so the sharded program replays the exact streams."""
+    seeds = [0, 3]
+    kw = dict(loss="variety", variety_n=2, augment_rotate=True,
+              augment_flip=True, ema_decay=0.99, steps_per_dispatch=7)
+    cfg1 = _cfg(synth_dir, tmp_path, "pop1", **kw)
+    cfg1 = cfg1.replace(model=dataclasses.replace(cfg1.model, dropout=0.1))
+    single = fit_population(cfg1, seeds)
+    cfg8 = _cfg(synth_dir, tmp_path, "pop8", data_parallel=True, **kw)
+    cfg8 = cfg8.replace(model=dataclasses.replace(cfg8.model, dropout=0.1))
+    sharded = fit_population(cfg8, seeds)
+    for seed, a, b in zip(seeds, single, sharded):
+        _assert_lane_matches(a, b, f"dp-vs-single seed {seed}")
+
+
 def test_population_guards(synth_dir, tmp_path):
     cfg = _cfg(synth_dir, tmp_path, "g", steps=4)
     with pytest.raises(ValueError, match="resident"):
         fit_population(
             cfg.replace(train=dataclasses.replace(cfg.train, stream=True)),
             [0, 1])
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="divisible"):
         fit_population(
             cfg.replace(train=dataclasses.replace(
-                cfg.train, data_parallel=True)), [0, 1])
+                cfg.train, data_parallel=True, batch_size=9)), [0, 1])
     with pytest.raises(ValueError, match="duplicate"):
         fit_population(cfg, [2, 2])
     with pytest.raises(ValueError, match="align"):
