@@ -288,6 +288,27 @@ def test_train_overrides_reach_config():
     assert cfg.model.attn_layers == 3
 
 
+def test_train_ablation_overrides_reach_config():
+    """The social-ablation knobs (--no-social / --num-heads /
+    --adjacency-radius) land on ModelConfig; defaults stay untouched."""
+    from mmtraj.cli import _apply_overrides, build_parser
+    from mmtraj.config import get_config
+
+    args = build_parser().parse_args(
+        ["train", "--config", "3", "--no-social", "--num-heads", "2",
+         "--adjacency-radius", "0"]
+    )
+    cfg = _apply_overrides(get_config("3"), args)
+    assert cfg.model.social is False
+    assert cfg.model.num_heads == 2
+    assert cfg.model.adjacency_radius == 0.0
+    # No flags -> the preset's values survive.
+    args = build_parser().parse_args(["train", "--config", "3"])
+    cfg = _apply_overrides(get_config("3"), args)
+    assert cfg.model.social is True and cfg.model.num_heads == 1
+    assert cfg.model.adjacency_radius == 4.0
+
+
 def test_cli_rejects_unknown_scene():
     with pytest.raises(SystemExit):
         main(["train", "--scene", "nowhere"])
