@@ -322,6 +322,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--stats-every", type=int, default=0,
                     help="log one operational line (ok/err counts, qps, mean "
                          "group size) to stderr every N answered requests")
+    sv.add_argument("--no-pipeline-encode", action="store_true",
+                    help="serialize response encoding with device calls "
+                         "(debug escape hatch; default overlaps them on a "
+                         "writer thread, same bytes/order)")
 
     rp = sub.add_parser("predict",
                         help="sample K futures for a scene's live windows -> .npz")
@@ -1008,7 +1012,8 @@ def main(argv=None) -> int:
 
         served = serve_lines(args.artifact, sys.stdin, sys.stdout,
                              aggregate=args.aggregate, window_ms=args.window_ms,
-                             stats_every=args.stats_every)
+                             stats_every=args.stats_every,
+                             pipeline_encode=not args.no_pipeline_encode)
         print(f"served {served} request(s)", file=sys.stderr)
         return 0
 

@@ -35,6 +35,14 @@ requests flush the pending group first.
 Malformed or out-of-capacity requests get {"error": ...} on their line and
 the loop continues — a bad request must not take the replica down.
 
+**Pipelined host path** (round 4, default on): response encoding (tolist /
+b64) and stream writes run on a dedicated writer thread behind a bounded
+FIFO, so the device loop issues the next predict while the previous
+response is still being serialized — the JSON-encode stage is the
+measured host bottleneck at big K=20 responses (serve_bench).  The FIFO
+preserves request order and the emitted bytes are identical to the serial
+path (pinned by tests/test_serve.py).
+
 Reference counterpart: none — the reference ships research scripts with no
 serving surface (SURVEY.md §5); this surface is the rebuild's own contract.
 """
@@ -146,7 +154,8 @@ def _encode_response(pred: np.ndarray, k: int, encoding: str) -> dict:
 
 def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                 log_stream: IO[str] = sys.stderr, aggregate: int = 1,
-                window_ms: float = 5.0, stats_every: int = 0) -> int:
+                window_ms: float = 5.0, stats_every: int = 0,
+                pipeline_encode: bool = True) -> int:
     """JSON-lines request loop; returns the number of requests served OK.
 
     With ``aggregate > 1``, consecutive single-window same-seed requests are
@@ -156,6 +165,14 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
     goes to ``log_stream`` every N answered requests: cumulative ok/err
     counts, requests/s since the previous line, and (when aggregating) the
     mean device-call group size over that interval.
+
+    ``pipeline_encode`` (default on) moves response encoding + writing to a
+    dedicated writer thread behind a bounded FIFO, so the device loop never
+    waits on JSON/b64 encode of the previous response — the host-encode
+    stage (the serve_bench-measured bottleneck on big JSON responses)
+    overlaps the next device call.  Responses stay in request order (the
+    FIFO is the order) and bytes are identical to the serial path; the
+    flag exists only as an escape hatch for debugging.
     """
     server = PredictServer(artifact_path)
     agg = max(1, min(int(aggregate), server.batch))
@@ -168,7 +185,7 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
     st = {"err": 0, "calls": 0, "called_lines": 0, "answered": 0,
           "t": time.monotonic(), "last_answered": 0}
 
-    def emit(resp: dict) -> None:
+    def write_resp(resp: dict) -> None:
         print(json.dumps(resp), file=out_stream, flush=True)
         st["answered"] += 1
         if "error" in resp:
@@ -187,6 +204,46 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             st["t"], st["last_answered"] = now, st["answered"]
             st["calls"] = st["called_lines"] = 0
 
+    if pipeline_encode:
+        import queue as _queue
+        import threading as _threading
+
+        out_q: "_queue.Queue" = _queue.Queue(maxsize=8)  # backpressure
+        _DONE = object()
+        writer_err: list = []
+
+        def _writer() -> None:
+            while True:
+                item = out_q.get()
+                if item is _DONE:
+                    return
+                try:
+                    write_resp(item() if callable(item) else item)
+                except Exception as e:  # noqa: BLE001 — surface at join
+                    writer_err.append(e)
+                    return
+
+        writer = _threading.Thread(target=_writer, daemon=True)
+        writer.start()
+
+        def emit(resp_or_thunk) -> None:
+            if writer_err:
+                raise writer_err[0]
+            out_q.put(resp_or_thunk)
+
+        def finish() -> None:
+            out_q.put(_DONE)
+            writer.join()
+            if writer_err:
+                raise writer_err[0]
+    else:
+        def emit(resp_or_thunk) -> None:
+            write_resp(resp_or_thunk() if callable(resp_or_thunk)
+                       else resp_or_thunk)
+
+        def finish() -> None:
+            pass
+
     def answer_one(r: dict) -> None:
         nonlocal ok
         try:
@@ -195,7 +252,9 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             st["called_lines"] += 1
             if r["single"]:
                 pred = pred[:, 0]
-            resp = _encode_response(pred, server.k, r["encoding"])
+            # Encode lazily: the writer thread pays tolist/b64 while the
+            # device loop moves on to the next request.
+            resp = lambda: _encode_response(pred, server.k, r["encoding"])  # noqa: E731
             ok += 1
         except Exception as e:  # noqa: BLE001 — must not kill the loop
             resp = {"error": f"{type(e).__name__}: {e}"}
@@ -212,6 +271,7 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                 emit({"error": f"{type(e).__name__}: {e}"})
                 continue
             answer_one(r)
+        finish()
         return ok
 
     import queue
@@ -257,7 +317,8 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
         for j, r in enumerate(group):
             n = r["mask"].shape[1]
             ok += 1
-            emit(_encode_response(pred[:, j, :n], server.k, r["encoding"]))
+            emit(lambda pred=pred, j=j, n=n, enc=r["encoding"]:
+                 _encode_response(pred[:, j, :n], server.k, enc))
 
     while True:
         timeout = max(0.0, deadline - time.monotonic()) if pending else None
@@ -289,4 +350,5 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
         else:
             flush()
             answer_one(r)
+    finish()
     return ok

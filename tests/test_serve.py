@@ -108,6 +108,34 @@ def test_serve_lines_protocol(artifact, rng):
     assert "capacity" in log.getvalue()
 
 
+def test_pipeline_encode_bytes_identical(artifact, rng):
+    """The writer-thread path (default) must produce byte-identical stdout,
+    in the same order, as the serial escape hatch — over a mix of good,
+    b64-encoded, malformed, and over-capacity requests, with and without
+    aggregation."""
+    single = _walk(rng, 1, 2)[0]
+    batched = _walk(rng, 2, 3)
+    requests = "\n".join([
+        json.dumps({"xy": single.tolist(), "seed": 5}),
+        json.dumps({"xy": single.tolist(), "seed": 5,
+                    "encoding": "b64-npy"}),
+        "{not json",
+        json.dumps({"xy": batched.tolist()}),
+        json.dumps({"xy": _walk(rng, B_CAP + 2, 2).tolist()}),
+        json.dumps({"xy": single.tolist(), "seed": 5}),
+    ])
+    for agg in (1, 3):
+        outs, serveds = [], []
+        for pipe in (True, False):
+            out, log = io.StringIO(), io.StringIO()
+            serveds.append(serve_lines(artifact, io.StringIO(requests), out,
+                                       log, aggregate=agg,
+                                       pipeline_encode=pipe))
+            outs.append(out.getvalue())
+        assert serveds[0] == serveds[1]
+        assert outs[0] == outs[1], f"pipelined bytes differ (aggregate={agg})"
+
+
 def test_serve_lines_binary_encoding_matches_json(artifact, rng):
     """b64-npy responses decode losslessly to the json-encoded prediction;
     an unknown encoding answers {error}, not a dead replica."""
