@@ -68,4 +68,18 @@ def enable_compile_cache(path: Optional[str] = None,
     # policy already does this; pinned explicitly so a jax upgrade changing
     # the default doesn't silently stop caching the long-compile programs).
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if os.environ.get("MMTRAJ_EXPLAIN_CACHE_MISSES", "").lower() in (
+            "1", "true", "yes", "on"):
+        # Debug aid: XLA logs WHY a lookup missed (which key component
+        # changed) and the cache layer logs hits/writes.  Costs nothing when
+        # off; indispensable when a program that "should" hit recompiles.
+        import logging
+
+        jax.config.update("jax_explain_cache_misses", True)
+        for name in ("jax._src.compilation_cache", "jax._src.compiler",
+                     "jax._src.lru_cache", "jax._src.cache_key"):
+            lg = logging.getLogger(name)
+            lg.setLevel(logging.DEBUG)
+            if not lg.handlers:
+                lg.addHandler(logging.StreamHandler())
     return resolved

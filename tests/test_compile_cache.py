@@ -59,3 +59,40 @@ def test_cache_populates_in_subprocess(tmp_path):
     assert r2.returncode == 0, r2.stderr
     assert {p.name for p in cache.iterdir()} == entries, (
         "second run should hit the cache, not write new entries")
+
+
+def test_explain_misses_knob(tmp_path):
+    """MMTRAJ_EXPLAIN_CACHE_MISSES=1 must turn on jax_explain_cache_misses
+    and surface the cache layer's hit/miss lines on stderr — the debugging
+    path used to diagnose the round-4 warm-bench recompile (RESULTS.md
+    compile-cache table)."""
+    cache = tmp_path / "xla"
+    prog = (
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from mmtraj.utils.compile_cache import enable_compile_cache\n"
+        f"enable_compile_cache({str(cache)!r}, min_compile_secs=0.0)\n"
+        "assert jax.config.jax_explain_cache_misses\n"
+        "f = jax.jit(lambda x: jnp.cos(x) @ x.T * 1.03125)\n"
+        "f(jnp.ones((64, 64))).block_until_ready()\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MMTRAJ_EXPLAIN_CACHE_MISSES="1")
+    r = subprocess.run([sys.executable, "-c", prog],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "Cache miss" in r.stderr or "cache miss" in r.stderr.lower(), (
+        "explain mode should log the first-compile miss")
+    # Off by default: the flag must stay False when the env var is unset.
+    env_off = {k: v for k, v in os.environ.items()
+               if k != "MMTRAJ_EXPLAIN_CACHE_MISSES"}
+    env_off["JAX_PLATFORMS"] = "cpu"
+    prog_off = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from mmtraj.utils.compile_cache import enable_compile_cache\n"
+        f"enable_compile_cache({str(cache)!r})\n"
+        "assert not jax.config.jax_explain_cache_misses\n"
+    )
+    r2 = subprocess.run([sys.executable, "-c", prog_off],
+                        capture_output=True, text=True, env=env_off)
+    assert r2.returncode == 0, r2.stderr
