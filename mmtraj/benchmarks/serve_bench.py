@@ -124,7 +124,9 @@ def bench_one(model, params, stats, *, batch: int, n: int, k: int,
 
 
 def bench_serve_loop(model, params, stats, *, n: int, k: int,
-                     n_requests: int, aggregates: list[int]) -> list[dict]:
+                     n_requests: int, aggregates: list[int],
+                     pipeline_encode: bool = True,
+                     input_encoding: str = "json") -> list[dict]:
     """Requests/s of the full `serve_lines` protocol loop (JSON parse ->
     group -> device call -> b64-npy encode) for a stream of single-window
     requests, per --aggregate setting.
@@ -143,12 +145,21 @@ def bench_serve_loop(model, params, stats, *, n: int, k: int,
     from mmtraj.export import export_predictor
     from mmtraj.serve import serve_lines
 
+    import base64
+
+    def _xy_field(xy):
+        if input_encoding == "b64-npy":
+            buf = io.BytesIO()
+            np.save(buf, xy, allow_pickle=False)
+            return {"xy_b64_npy": base64.b64encode(buf.getvalue()).decode()}
+        return {"xy": xy.tolist()}
+
     rng = np.random.default_rng(0)
     lines = []
     for _ in range(n_requests):
         steps = rng.normal(size=(n - 16, model.obs_len, 2)).astype(np.float32) * 0.4
         xy = np.cumsum(steps, axis=1)
-        lines.append(json.dumps({"xy": xy.tolist(), "seed": 4,
+        lines.append(json.dumps({**_xy_field(xy), "seed": 4,
                                  "encoding": "b64-npy"}))
     payload = "\n".join(lines)
 
@@ -160,15 +171,19 @@ def bench_serve_loop(model, params, stats, *, n: int, k: int,
                          n_agents=n, oversample=1)
         # warm the compiled path (one full group and the EOF remainder)
         serve_lines(path, io.StringIO("\n".join(lines[: agg + 1])),
-                    io.StringIO(), io.StringIO(), aggregate=agg)
+                    io.StringIO(), io.StringIO(), aggregate=agg,
+                    pipeline_encode=pipeline_encode)
         t0 = time.time()
         out = io.StringIO()
         served = serve_lines(path, io.StringIO(payload), out, io.StringIO(),
-                             aggregate=agg, window_ms=5.0)
+                             aggregate=agg, window_ms=5.0,
+                             pipeline_encode=pipeline_encode)
         dt = time.time() - t0
         assert served == n_requests, (served, n_requests)
         row = {"aggregate": agg, "requests_per_s": round(n_requests / dt, 1),
-               "ms_per_request": round(dt / n_requests * 1e3, 2)}
+               "ms_per_request": round(dt / n_requests * 1e3, 2),
+               "pipeline_encode": pipeline_encode,
+               "input_encoding": input_encoding}
         log(f"  serve-loop {row}")
         rows.append(row)
     return rows
@@ -195,6 +210,14 @@ def main(argv=None) -> int:
     ap.add_argument("--requests", type=int, default=None,
                     help="request-stream length for --serve-loop "
                          "(default: 200 on TPU, 6 elsewhere)")
+    ap.add_argument("--no-pipeline-encode", action="store_true",
+                    help="serve-loop only: disable the writer thread that "
+                         "overlaps response encoding with device dispatch "
+                         "(measures the serial host path for comparison)")
+    ap.add_argument("--input-encoding", default="json",
+                    choices=("json", "b64-npy"),
+                    help="serve-loop only: send xy as JSON lists or as "
+                         "base64 .npy (xy_b64_npy — the binary request path)")
     args = ap.parse_args(argv)
 
     import jax
@@ -219,7 +242,9 @@ def main(argv=None) -> int:
         log(f"device: {jax.devices()[0]}  serve-loop N={n} K={args.k} "
             f"requests={n_requests} aggregates={aggs}")
         rows = bench_serve_loop(model, params, stats, n=n, k=args.k,
-                                n_requests=n_requests, aggregates=aggs)
+                                n_requests=n_requests, aggregates=aggs,
+                                pipeline_encode=not args.no_pipeline_encode,
+                                input_encoding=args.input_encoding)
         print(json.dumps(rows))
         return 0
 

@@ -14,6 +14,12 @@ stdout under `python -m mmtraj.cli serve`), one request per line:
     -> {"pred": [K][B][N][T_pred][2], "k": K}   (B/N as sent; singleton batch
                                                  echoed without the B axis)
 
+Requests may carry the observation tensor as binary instead of JSON lists:
+``"xy_b64_npy"`` (base64 of an ``np.save`` buffer, same [N][T][2] /
+[B][N][T][2] shapes, any float dtype) replaces ``"xy"`` — symmetric with the
+b64-npy response encoding and cheaper to parse (a wash at the flagship
+obs shape, where the response dominates; the gap grows with N·T_obs).
+
 With ``"encoding": "b64-npy"`` the response carries the prediction as a
 base64 .npy payload ({"pred_b64_npy": ..., "shape": [...], "k": K}) instead
 of nested JSON lists — a batched K=20 response is ~10 MB of JSON text but
@@ -35,13 +41,17 @@ requests flush the pending group first.
 Malformed or out-of-capacity requests get {"error": ...} on their line and
 the loop continues — a bad request must not take the replica down.
 
-**Pipelined host path** (round 4, default on): response encoding (tolist /
-b64) and stream writes run on a dedicated writer thread behind a bounded
-FIFO, so the device loop issues the next predict while the previous
-response is still being serialized — the JSON-encode stage is the
-measured host bottleneck at big K=20 responses (serve_bench).  The FIFO
-preserves request order and the emitted bytes are identical to the serial
-path (pinned by tests/test_serve.py).
+**Pipelined host path** (round 4, default on): the device loop only
+*dispatches* each predict (JAX dispatch is asynchronous); the blocking
+device wait + device->host fetch + response encoding (tolist/b64) + stream
+write all run on a dedicated writer thread behind a bounded FIFO, so the
+loop parses and dispatches request k+1 while request k's result is still
+in flight on the tunnel and being serialized.  The FIFO (maxsize 8) bounds
+how many device results can be outstanding, preserves request order, and
+the emitted bytes are identical to the serial path (pinned by
+tests/test_serve.py); a fetch-time device failure surfaces at the next
+emit and is replica-fatal, exactly like an XLA runtime error on the
+serial path.
 
 Reference counterpart: none — the reference ships research scripts with no
 serving surface (SURVEY.md §5); this surface is the rebuild's own contract.
@@ -101,12 +111,16 @@ class PredictServer:
             raise ValueError(f"mask shape {mask.shape} != ({b},{n})")
         return xy, mask
 
-    def predict(self, xy: np.ndarray, mask: Optional[np.ndarray] = None,
-                seed: int = 0) -> np.ndarray:
-        """xy (B,N,obs_len,2) -> (K,B,N,pred_len,2); B/N may be anything up
-        to the artifact's static capacity (padded agents return garbage the
-        slice drops; padding never changes valid agents' outputs — the
-        masking-invariance contract, tests/test_gat.py)."""
+    def predict_async(self, xy: np.ndarray,
+                      mask: Optional[np.ndarray] = None,
+                      seed: int = 0):
+        """Validate + pad + DISPATCH only: returns (device_out, (b, n)) where
+        ``device_out`` is the artifact's full (K,B_cap,N_cap,pred_len,2)
+        result still owned by the device (JAX dispatch is asynchronous — the
+        call returns before the TPU finishes) and (b, n) is the request's
+        true size for the caller's ``np.asarray(device_out)[:, :b, :n]``
+        fetch.  Lets a serving loop issue the next request's device call
+        while this result is still in flight on the interconnect/tunnel."""
         import jax.numpy as jnp
 
         xy, mask = self.check(xy, mask)
@@ -117,13 +131,41 @@ class PredictServer:
         mask_p[:b, :n] = mask
         out = self._call(jnp.asarray(xy_p), jnp.asarray(mask_p),
                          jnp.asarray(seed, jnp.int32))
+        return out, (b, n)
+
+    def predict(self, xy: np.ndarray, mask: Optional[np.ndarray] = None,
+                seed: int = 0) -> np.ndarray:
+        """xy (B,N,obs_len,2) -> (K,B,N,pred_len,2); B/N may be anything up
+        to the artifact's static capacity (padded agents return garbage the
+        slice drops; padding never changes valid agents' outputs — the
+        masking-invariance contract, tests/test_gat.py)."""
+        out, (b, n) = self.predict_async(xy, mask, seed)
         return np.asarray(out)[:, :b, :n]
 
 
 def _parse_request(line: str, server: PredictServer) -> dict:
     """One JSON line -> validated request dict (raises on anything wrong)."""
     req = json.loads(line)
-    xy = np.asarray(req["xy"], np.float32)
+    if "xy_b64_npy" in req:
+        # Binary input path, symmetric with the b64-npy response encoding:
+        # base64 .npy decodes much cheaper than json.loads of the equivalent
+        # nested float lists.  At the flagship request shape (N=64 obs=8)
+        # input parse is NOT the bottleneck — measured a wash in the serve
+        # loop (RESULTS.md round-4 serve table) — but the cost scales with
+        # N*T while the win is free, so the protocol supports it.
+        import base64
+        import io as _io
+
+        if "xy" in req:
+            raise ValueError("send exactly one of 'xy' | 'xy_b64_npy'")
+        raw = np.load(_io.BytesIO(base64.b64decode(req["xy_b64_npy"])),
+                      allow_pickle=False)
+        if raw.ndim not in (3, 4):
+            raise ValueError(f"xy_b64_npy must be [N][T][2] or [B][N][T][2], "
+                             f"got shape {raw.shape}")
+        xy = raw.astype(np.float32, copy=False)
+    else:
+        xy = np.asarray(req["xy"], np.float32)
     single = xy.ndim == 3  # [N][T][2]: echo back without a batch axis
     if single:
         xy = xy[None]
@@ -181,11 +223,17 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
           f"K={server.k}"
           + (f" aggregate={agg} window_ms={window_ms}" if agg > 1 else ""),
           file=log_stream, flush=True)
-    ok = 0
-    st = {"err": 0, "calls": 0, "called_lines": 0, "answered": 0,
-          "t": time.monotonic(), "last_answered": 0}
+    # Main-thread cumulative counters (ok responses, successful device calls,
+    # lines answered by those calls).  With the pipelined writer the main
+    # loop dispatches ahead of what has been written, so every emitted
+    # response carries a SNAPSHOT of these taken at emit time — the stats
+    # lines then report exactly what the serial path would, regardless of
+    # how far ahead the dispatch loop is.
+    mt = {"ok": 0, "calls": 0, "lines": 0}
+    st = {"err": 0, "answered": 0, "t": time.monotonic(),
+          "last_answered": 0, "last_calls": 0, "last_lines": 0}
 
-    def write_resp(resp: dict) -> None:
+    def write_resp(resp: dict, snap: tuple) -> None:
         print(json.dumps(resp), file=out_stream, flush=True)
         st["answered"] += 1
         if "error" in resp:
@@ -194,15 +242,16 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             now = time.monotonic()
             n = st["answered"] - st["last_answered"]
             qps = n / max(now - st["t"], 1e-9)
-            line = (f"stats: answered={st['answered']} ok={ok} "
+            line = (f"stats: answered={st['answered']} ok={snap[0]} "
                     f"err={st['err']} qps={qps:.1f}")
-            if agg > 1 and st["calls"]:
+            d_calls = snap[1] - st["last_calls"]
+            if agg > 1 and d_calls:
                 # Lines answered by successful device calls over those calls —
                 # error lines and failed groups count in neither term.
-                line += f" mean_group={st['called_lines'] / st['calls']:.1f}"
+                line += f" mean_group={(snap[2] - st['last_lines']) / d_calls:.1f}"
             print(line, file=log_stream, flush=True)
             st["t"], st["last_answered"] = now, st["answered"]
-            st["calls"] = st["called_lines"] = 0
+            st["last_calls"], st["last_lines"] = snap[1], snap[2]
 
     if pipeline_encode:
         import queue as _queue
@@ -217,8 +266,10 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                 item = out_q.get()
                 if item is _DONE:
                     return
+                payload, snap = item
                 try:
-                    write_resp(item() if callable(item) else item)
+                    write_resp(payload() if callable(payload) else payload,
+                               snap)
                 except Exception as e:  # noqa: BLE001 — surface at join
                     writer_err.append(e)
                     return
@@ -229,7 +280,7 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
         def emit(resp_or_thunk) -> None:
             if writer_err:
                 raise writer_err[0]
-            out_q.put(resp_or_thunk)
+            out_q.put((resp_or_thunk, (mt["ok"], mt["calls"], mt["lines"])))
 
         def finish() -> None:
             out_q.put(_DONE)
@@ -239,23 +290,53 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
     else:
         def emit(resp_or_thunk) -> None:
             write_resp(resp_or_thunk() if callable(resp_or_thunk)
-                       else resp_or_thunk)
+                       else resp_or_thunk,
+                       (mt["ok"], mt["calls"], mt["lines"]))
 
         def finish() -> None:
             pass
 
+    def _lazy_fetch(dev, b: int, n: int):
+        """One shared, memoized device->host fetch for the request (or
+        group) that produced ``dev``; thunks on the writer thread call it so
+        the blocking fetch rides that thread, overlapped with the device
+        loop's next dispatch.  Memoized so a group of G responses pays ONE
+        fetch, exactly like the blocking path."""
+        box = [dev, None]
+
+        def get():
+            if box[1] is None:
+                box[1] = np.asarray(box[0])[:, :b, :n]
+                box[0] = None  # release the device buffer
+            return box[1]
+
+        return get
+
     def answer_one(r: dict) -> None:
-        nonlocal ok
         try:
-            pred = server.predict(r["xy"], r["mask"], r["seed"])
-            st["calls"] += 1
-            st["called_lines"] += 1
-            if r["single"]:
-                pred = pred[:, 0]
-            # Encode lazily: the writer thread pays tolist/b64 while the
-            # device loop moves on to the next request.
-            resp = lambda: _encode_response(pred, server.k, r["encoding"])  # noqa: E731
-            ok += 1
+            if pipeline_encode:
+                # Dispatch only; the writer thread pays the device wait +
+                # fetch + encode while this loop parses/dispatches the next
+                # request.  A fetch-time device failure surfaces at the next
+                # emit()/finish() and is replica-fatal, like any XLA runtime
+                # error on the blocking path.
+                dev, (b, n) = server.predict_async(r["xy"], r["mask"],
+                                                   r["seed"])
+                get = _lazy_fetch(dev, b, n)
+
+                def resp(get=get, single=r["single"], enc=r["encoding"]):
+                    pred = get()
+                    if single:
+                        pred = pred[:, 0]
+                    return _encode_response(pred, server.k, enc)
+            else:
+                pred = server.predict(r["xy"], r["mask"], r["seed"])
+                if r["single"]:
+                    pred = pred[:, 0]
+                resp = lambda: _encode_response(pred, server.k, r["encoding"])  # noqa: E731
+            mt["calls"] += 1
+            mt["lines"] += 1
+            mt["ok"] += 1
         except Exception as e:  # noqa: BLE001 — must not kill the loop
             resp = {"error": f"{type(e).__name__}: {e}"}
         emit(resp)
@@ -272,7 +353,7 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                 continue
             answer_one(r)
         finish()
-        return ok
+        return mt["ok"]
 
     import queue
     import threading
@@ -292,7 +373,6 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
 
     def flush() -> None:
         """Answer every pending request with one device call (in order)."""
-        nonlocal ok
         if not pending:
             return
         group, n_g = pending[:], max(r["mask"].shape[1] for r in pending)
@@ -304,9 +384,15 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             xy_b[j, :n] = r["xy"][0]
             mask_b[j, :n] = r["mask"][0]
         try:
-            pred = server.predict(xy_b, mask_b, group[0]["seed"])
-            st["calls"] += 1
-            st["called_lines"] += len(group)
+            if pipeline_encode:
+                dev, (b_g, _) = server.predict_async(xy_b, mask_b,
+                                                     group[0]["seed"])
+                get = _lazy_fetch(dev, b_g, n_g)
+            else:
+                pred = server.predict(xy_b, mask_b, group[0]["seed"])
+                get = lambda: pred  # noqa: E731
+            mt["calls"] += 1
+            mt["lines"] += len(group)
         except Exception as e:  # noqa: BLE001
             for _ in group:
                 emit({"error": f"{type(e).__name__}: {e}"})
@@ -316,9 +402,9 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                   file=log_stream, flush=True)
         for j, r in enumerate(group):
             n = r["mask"].shape[1]
-            ok += 1
-            emit(lambda pred=pred, j=j, n=n, enc=r["encoding"]:
-                 _encode_response(pred[:, j, :n], server.k, enc))
+            mt["ok"] += 1
+            emit(lambda get=get, j=j, n=n, enc=r["encoding"]:
+                 _encode_response(get()[:, j, :n], server.k, enc))
 
     while True:
         timeout = max(0.0, deadline - time.monotonic()) if pending else None
@@ -351,4 +437,4 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             flush()
             answer_one(r)
     finish()
-    return ok
+    return mt["ok"]

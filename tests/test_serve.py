@@ -159,6 +159,38 @@ def test_serve_lines_binary_encoding_matches_json(artifact, rng):
     assert "error" in bad and "unknown encoding" in bad["error"]
 
 
+def test_serve_lines_binary_input_matches_json_input(artifact, rng):
+    """xy_b64_npy requests answer byte-identically to the equivalent json-list
+    request (single and batched, f32 and f64 payloads); sending both keys or
+    a bad-rank payload answers {error}, not a dead replica."""
+    import base64
+
+    def b64(arr):
+        buf = io.BytesIO()
+        np.save(buf, arr, allow_pickle=False)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    single = _walk(rng, 1, 2)[0]
+    batched = _walk(rng, 2, 3)
+    pairs = "\n".join([
+        json.dumps({"xy": single.tolist(), "seed": 5}),
+        json.dumps({"xy_b64_npy": b64(single), "seed": 5}),
+        json.dumps({"xy": batched.tolist(), "seed": 1,
+                    "encoding": "b64-npy"}),
+        json.dumps({"xy_b64_npy": b64(batched.astype(np.float64)), "seed": 1,
+                    "encoding": "b64-npy"}),
+        json.dumps({"xy": single.tolist(), "xy_b64_npy": b64(single)}),
+        json.dumps({"xy_b64_npy": b64(single[0])}),  # rank 2: rejected
+    ])
+    out = io.StringIO()
+    served = serve_lines(artifact, io.StringIO(pairs), out, io.StringIO())
+    assert served == 4
+    l1, l2, l3, l4, both, rank = out.getvalue().strip().splitlines()
+    assert l1 == l2 and l3 == l4
+    assert "exactly one of" in json.loads(both)["error"]
+    assert "must be" in json.loads(rank)["error"]
+
+
 def test_serve_lines_same_seed_reproduces(artifact, rng):
     xy = _walk(rng, 1, 2)
     req = json.dumps({"xy": xy.tolist(), "seed": 3}) + "\n"
