@@ -287,6 +287,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="candidate batch sizes to time (default: an "
                          "8-point bracket around the analytic guess)")
 
+    cc = sub.add_parser("cache",
+                        help="persistent XLA compile cache: show size, trim, clear")
+    cc.add_argument("--clear", action="store_true",
+                    help="remove every cache entry")
+    cc.add_argument("--trim-gb", type=float, default=None,
+                    help="evict LRU entries until the cache is under this "
+                         "many GB (default policy: MMTRAJ_COMPILE_CACHE_MAX_GB, "
+                         "else 4)")
+
     pp = sub.add_parser("profile-stats",
                         help="summarize a jax.profiler trace (device-time op stats)")
     pp.add_argument("--trace-dir", required=True,
@@ -946,6 +955,21 @@ def main(argv=None) -> int:
         from mmtraj.utils.profiling import print_trace_summary
 
         print_trace_summary(args.trace_dir, args.top)
+        return 0
+
+    if args.cmd == "cache":
+        from mmtraj.utils.compile_cache import (cache_stats, clear_cache,
+                                                trim_cache)
+
+        if args.clear:
+            n, b = clear_cache()
+            print(f"cleared {n} entries ({b / 1e6:.1f} MB)")
+        elif args.trim_gb is not None:
+            n, b = trim_cache(max_bytes=args.trim_gb * 1e9)
+            print(f"trimmed {n} entries ({b / 1e6:.1f} MB)")
+        s = cache_stats()
+        print(f"cache dir: {s['dir']}\nentries: {s['entries']}\n"
+              f"size: {s['total_bytes'] / 1e6:.1f} MB")
         return 0
 
     if args.cmd == "predict":

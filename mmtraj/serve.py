@@ -49,9 +49,15 @@ loop parses and dispatches request k+1 while request k's result is still
 in flight on the tunnel and being serialized.  The FIFO (maxsize 8) bounds
 how many device results can be outstanding, preserves request order, and
 the emitted bytes are identical to the serial path (pinned by
-tests/test_serve.py); a fetch-time device failure surfaces at the next
-emit and is replica-fatal, exactly like an XLA runtime error on the
-serial path.
+tests/test_serve.py).  Error handling matches the serial path's contract:
+a fetch-time device failure (or encode failure) is caught ON the writer
+thread and answered as {"error": ...} on that request's line — the same
+per-request error a blocking `predict` raising inside `answer_one`'s try
+would produce — and the loop continues.  Only a failure to WRITE the
+response stream (e.g. the client closed stdout) is replica-fatal; it
+surfaces at the next emit()/finish(), which re-check the writer's health
+while enqueueing (bounded-timeout puts) so a dead writer can never
+deadlock the dispatch loop against a full FIFO.
 
 Reference counterpart: none — the reference ships research scripts with no
 serving surface (SURVEY.md §5); this surface is the rebuild's own contract.
@@ -268,22 +274,66 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
                     return
                 payload, snap = item
                 try:
-                    write_resp(payload() if callable(payload) else payload,
-                               snap)
-                except Exception as e:  # noqa: BLE001 — surface at join
+                    if callable(payload):
+                        # Materializing the response pays the device wait +
+                        # fetch + encode.  A failure HERE is a per-request
+                        # problem (the serial path catches the equivalent
+                        # blocking-predict failure inside answer_one's try),
+                        # so it must answer {"error": ...} on this line, not
+                        # kill the replica.  NB the dispatch loop already
+                        # counted this request ok at dispatch time; the
+                        # stats line's err counter (write_resp) still
+                        # records it, so only the cumulative ok snapshot
+                        # can over-count by in-flight fetch failures.
+                        try:
+                            resp = payload()
+                        except Exception as e:  # noqa: BLE001
+                            resp = {"error": f"{type(e).__name__}: {e}"}
+                    else:
+                        resp = payload
+                    write_resp(resp, snap)
+                except Exception as e:  # noqa: BLE001 — stream write died:
+                    # nothing more can ever be answered, so THIS is the
+                    # replica-fatal case.  Record it, then drain the FIFO so
+                    # any emit() blocked on a full queue unblocks promptly
+                    # (emit's timeout loop would also catch it; draining
+                    # just makes the failure surface immediately).
                     writer_err.append(e)
+                    try:
+                        while True:
+                            out_q.get_nowait()
+                    except _queue.Empty:
+                        pass
                     return
 
         writer = _threading.Thread(target=_writer, daemon=True)
         writer.start()
 
         def emit(resp_or_thunk) -> None:
-            if writer_err:
-                raise writer_err[0]
-            out_q.put((resp_or_thunk, (mt["ok"], mt["calls"], mt["lines"])))
+            # Bounded-timeout put that re-checks the writer's health: a
+            # blocking put against a full FIFO whose consumer has died would
+            # hang the dispatch loop forever (ADVICE r4).  The 100 ms poll
+            # costs nothing on the happy path (the put succeeds immediately
+            # whenever the queue has room).
+            item = (resp_or_thunk, (mt["ok"], mt["calls"], mt["lines"]))
+            while True:
+                if writer_err:
+                    raise writer_err[0]
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return
+                except _queue.Full:
+                    continue
 
         def finish() -> None:
-            out_q.put(_DONE)
+            while True:
+                if writer_err:
+                    raise writer_err[0]
+                try:
+                    out_q.put(_DONE, timeout=0.1)
+                    break
+                except _queue.Full:
+                    continue
             writer.join()
             if writer_err:
                 raise writer_err[0]
@@ -301,12 +351,21 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
         group) that produced ``dev``; thunks on the writer thread call it so
         the blocking fetch rides that thread, overlapped with the device
         loop's next dispatch.  Memoized so a group of G responses pays ONE
-        fetch, exactly like the blocking path."""
-        box = [dev, None]
+        fetch, exactly like the blocking path — and a fetch FAILURE is
+        memoized too, so every member of a failed group answers its error
+        line from the one attempt instead of re-blocking on a dead fetch."""
+        box = [dev, None, None]  # [device buf, host result, fetch error]
 
         def get():
+            if box[2] is not None:
+                raise box[2]
             if box[1] is None:
-                box[1] = np.asarray(box[0])[:, :b, :n]
+                try:
+                    box[1] = np.asarray(box[0])[:, :b, :n]
+                except Exception as e:  # noqa: BLE001 — re-raised per caller
+                    box[2] = e
+                    box[0] = None
+                    raise
                 box[0] = None  # release the device buffer
             return box[1]
 
@@ -317,9 +376,9 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
             if pipeline_encode:
                 # Dispatch only; the writer thread pays the device wait +
                 # fetch + encode while this loop parses/dispatches the next
-                # request.  A fetch-time device failure surfaces at the next
-                # emit()/finish() and is replica-fatal, like any XLA runtime
-                # error on the blocking path.
+                # request.  A fetch-time device failure is caught on the
+                # writer thread and answered {"error": ...} on this line,
+                # matching the blocking path's per-request error contract.
                 dev, (b, n) = server.predict_async(r["xy"], r["mask"],
                                                    r["seed"])
                 get = _lazy_fetch(dev, b, n)

@@ -19,6 +19,12 @@ it by default.  Users control it with the MMTRAJ_COMPILE_CACHE env var:
   a path           → that directory
   "0"/"off"/"none" → disabled
 
+The directory is size-bounded (VERDICT r4 #9): enable trims it to
+MMTRAJ_COMPILE_CACHE_MAX_GB (default 4 GB) by evicting least-recently-used
+entries first (mtime order — JAX's lru_cache layer touches entries on hit,
+so mtime tracks recency).  `python -m mmtraj.cli cache [--clear|--trim-gb X]`
+inspects and manages it by hand.
+
 Reference counterpart: none — the reference is an eager CPU/GPU loop with no
 compilation step (SURVEY.md §1 L0); this is a TPU-native runtime obligation.
 """
@@ -29,6 +35,15 @@ import os
 from typing import Optional
 
 _OFF = ("0", "off", "none", "false")
+
+# Bounded-size policy (VERDICT r4 #9): every traced-graph-changing knob
+# writes a new entry forever (the flagship eval program alone is ~10 MB),
+# so enable_compile_cache() trims the directory to this cap, LRU by mtime,
+# before handing it to JAX.  Override with MMTRAJ_COMPILE_CACHE_MAX_GB
+# (a float; "0" / negative disables trimming).  4 GB holds ~400 flagship
+# programs — far more than any round has ever compiled — while bounding a
+# years-long accumulation.
+_DEFAULT_MAX_GB = 4.0
 
 
 def resolve_cache_dir(path: Optional[str] = None) -> Optional[str]:
@@ -46,6 +61,71 @@ def resolve_cache_dir(path: Optional[str] = None) -> Optional[str]:
     return path
 
 
+def _entries(path: str) -> list:
+    """Cache files under ``path`` (recursive) as (mtime, size, fullpath),
+    oldest first.  Tolerates files vanishing mid-scan (concurrent trims)."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            fp = os.path.join(root, name)
+            try:
+                st = os.stat(fp)
+            except OSError:
+                continue
+            out.append((st.st_mtime, st.st_size, fp))
+    out.sort()
+    return out
+
+
+def cache_stats(path: Optional[str] = None) -> dict:
+    """{dir, entries, total_bytes} for the resolved cache directory (which
+    may not exist yet — then entries=0)."""
+    resolved = resolve_cache_dir(path)
+    if resolved is None or not os.path.isdir(resolved):
+        return {"dir": resolved, "entries": 0, "total_bytes": 0}
+    ents = _entries(resolved)
+    return {"dir": resolved, "entries": len(ents),
+            "total_bytes": sum(e[1] for e in ents)}
+
+
+def trim_cache(path: Optional[str] = None,
+               max_bytes: Optional[float] = None) -> tuple[int, int]:
+    """Evict least-recently-used entries (by mtime — JAX's lru_cache touches
+    entries on hit, so mtime IS recency) until the directory is under
+    ``max_bytes``.  Returns (entries_removed, bytes_removed).
+
+    ``max_bytes`` defaults to MMTRAJ_COMPILE_CACHE_MAX_GB (else 4 GB);
+    ``max_bytes=0`` removes everything (clear)."""
+    resolved = resolve_cache_dir(path)
+    if resolved is None or not os.path.isdir(resolved):
+        return 0, 0
+    if max_bytes is None:
+        gb = float(os.environ.get("MMTRAJ_COMPILE_CACHE_MAX_GB",
+                                  _DEFAULT_MAX_GB))
+        if gb <= 0:
+            return 0, 0
+        max_bytes = gb * 1e9
+    ents = _entries(resolved)
+    total = sum(e[1] for e in ents)
+    removed_n = removed_b = 0
+    for mtime, size, fp in ents:  # oldest first
+        if total <= max_bytes:
+            break
+        try:
+            os.remove(fp)
+        except OSError:
+            continue
+        total -= size
+        removed_n += 1
+        removed_b += size
+    return removed_n, removed_b
+
+
+def clear_cache(path: Optional[str] = None) -> tuple[int, int]:
+    """Remove every cache entry; returns (entries_removed, bytes_removed)."""
+    return trim_cache(path, max_bytes=0)
+
+
 def enable_compile_cache(path: Optional[str] = None,
                          min_compile_secs: float = 1.0) -> Optional[str]:
     """Enable JAX's persistent compilation cache in-process.
@@ -59,6 +139,10 @@ def enable_compile_cache(path: Optional[str] = None,
     if resolved is None:
         return None
     os.makedirs(resolved, exist_ok=True)
+    # Bounded-size policy: evict LRU entries past the cap before JAX starts
+    # writing.  A no-op scan when under the cap (the common case); set
+    # MMTRAJ_COMPILE_CACHE_MAX_GB=0 to never trim.
+    trim_cache(resolved)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", resolved)

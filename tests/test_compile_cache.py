@@ -96,3 +96,60 @@ def test_explain_misses_knob(tmp_path):
     r2 = subprocess.run([sys.executable, "-c", prog_off],
                         capture_output=True, text=True, env=env_off)
     assert r2.returncode == 0, r2.stderr
+
+
+def test_stats_trim_clear_lru(tmp_path, monkeypatch):
+    """Size management (VERDICT r4 #9): stats count every entry; trim evicts
+    oldest-mtime first until under the cap; clear empties; enable() applies
+    the MMTRAJ_COMPILE_CACHE_MAX_GB policy automatically."""
+    import time
+
+    from mmtraj.utils.compile_cache import (cache_stats, clear_cache,
+                                            trim_cache)
+
+    cache = tmp_path / "xla"
+    cache.mkdir()
+    monkeypatch.setenv("MMTRAJ_COMPILE_CACHE", str(cache))
+    now = time.time()
+    for i in range(5):  # entry i: 1000 bytes, older i = older mtime
+        p = cache / f"entry{i}"
+        p.write_bytes(b"x" * 1000)
+        os.utime(p, (now - 100 + i, now - 100 + i))
+
+    s = cache_stats()
+    assert (s["entries"], s["total_bytes"]) == (5, 5000)
+
+    # Trim to 2500 bytes: must remove the 3 OLDEST (entry0..2), keep 3/4.
+    n, b = trim_cache(max_bytes=2500)
+    assert (n, b) == (3, 3000)
+    assert sorted(p.name for p in cache.iterdir()) == ["entry3", "entry4"]
+
+    # enable() trims by the env policy (cap ~0 GB -> tiny, evicts to fit).
+    monkeypatch.setenv("MMTRAJ_COMPILE_CACHE_MAX_GB", "0.000001")  # 1 kB
+    d = enable_compile_cache()
+    assert d == str(cache)
+    assert [p.name for p in cache.iterdir()] == ["entry4"]
+
+    # MAX_GB=0 disables trimming entirely.
+    (cache / "big").write_bytes(b"y" * 10000)
+    monkeypatch.setenv("MMTRAJ_COMPILE_CACHE_MAX_GB", "0")
+    enable_compile_cache()
+    assert (cache / "big").exists()
+
+    n, b = clear_cache()
+    assert n == 2 and cache_stats()["entries"] == 0
+
+
+def test_cli_cache_subcommand(tmp_path, monkeypatch, capsys):
+    from mmtraj.cli import main as cli_main
+
+    cache = tmp_path / "xla"
+    cache.mkdir()
+    (cache / "e1").write_bytes(b"x" * 2048)
+    monkeypatch.setenv("MMTRAJ_COMPILE_CACHE", str(cache))
+    assert cli_main(["cache"]) == 0
+    out = capsys.readouterr().out
+    assert str(cache) in out and "entries: 1" in out
+    assert cli_main(["cache", "--clear"]) == 0
+    out = capsys.readouterr().out
+    assert "cleared 1 entries" in out and "entries: 0" in out

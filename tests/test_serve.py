@@ -291,3 +291,56 @@ def test_cli_serve_subcommand(artifact, rng, monkeypatch, capsys):
     resp = json.loads(cap.out.strip().splitlines()[-1])
     assert np.asarray(resp["pred"]).shape == (K, 2, 12, 2)
     assert "served 1 request(s)" in cap.err
+
+
+def test_fetch_failure_is_per_request_not_fatal(artifact, rng, monkeypatch):
+    """ADVICE r4: a fetch-time device failure on the pipelined path must
+    answer {"error": ...} on that request's line and keep serving — the same
+    contract as a blocking predict() failing inside the serial path's try."""
+
+    class _BoomBuf:
+        """Stands in for a device buffer whose fetch raises (an XLA runtime
+        error surfacing at np.asarray time on the writer thread)."""
+
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("device exploded at fetch time")
+
+    real = PredictServer.predict_async
+    calls = {"n": 0}
+
+    def flaky(self, xy, mask=None, seed=0):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            xy, mask = self.check(xy, mask)
+            return _BoomBuf(), mask.shape
+        return real(self, xy, mask, seed)
+
+    monkeypatch.setattr(PredictServer, "predict_async", flaky)
+    single = _walk(rng, 1, 2)[0]
+    requests = "\n".join(
+        json.dumps({"xy": single.tolist(), "seed": 5}) for _ in range(3))
+    out, log = io.StringIO(), io.StringIO()
+    serve_lines(artifact, io.StringIO(requests), out, log)
+    lines = [json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert len(lines) == 3
+    assert "error" in lines[0] and "device exploded" in lines[0]["error"]
+    assert "pred" in lines[1] and "pred" in lines[2]  # replica survived
+
+
+def test_dead_writer_does_not_deadlock_dispatch_loop(artifact, rng):
+    """ADVICE r4: if the writer thread dies on a stream-write error (client
+    closed stdout) while the dispatch loop keeps filling the bounded FIFO,
+    the loop must surface the error instead of blocking forever in put()."""
+
+    class _BrokenStream(io.StringIO):
+        def write(self, s):
+            raise BrokenPipeError("client closed stdout")
+
+    single = _walk(rng, 1, 2)[0]
+    # More requests than the FIFO holds (maxsize 8): without the bounded
+    # puts this would hang on request ~10 with a dead consumer.
+    requests = "\n".join(
+        json.dumps({"xy": single.tolist(), "seed": 5}) for _ in range(15))
+    with pytest.raises(BrokenPipeError):
+        serve_lines(artifact, io.StringIO(requests), _BrokenStream(),
+                    io.StringIO())
