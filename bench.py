@@ -118,6 +118,35 @@ def main() -> int:
     log(f"trials: {[f'{t:.3f}s' for t in times]} -> {tpu_rps:,.0f} window-rollouts/s/chip "
         f"({tpu_rps * int(np.asarray(mask).sum()) / B:,.0f} agent-trajectories/s)")
 
+    # MFU / roofline (VERDICT r4 #2): own the utilization number next to the
+    # contract metric.  FLOPs and bytes come from XLA's cost analysis of the
+    # COMPILED program (the optimized HLO — remat/fusion included), covering
+    # all ITERS iterations, so flops/dt is the sustained device FLOP rate of
+    # the trial.  Peaks: v5e MXU 197 TF/s bf16 / ~49 TF/s f32 (same constants
+    # as mmtraj/benchmarks/train_bench.py); the model's matmul precision
+    # picks which peak MFU is quoted against.  'bytes accessed' is HLO-level
+    # operand traffic — an upper bound on physical HBM bytes (VMEM-resident
+    # reuse is not modeled) — so the derived arithmetic intensity is a lower
+    # bound; the roofline paragraph in RESULTS.md interprets both.
+    flops = flops_ps = mfu = bytes_acc = None
+    try:
+        ca = many.lower(params, xy_obs, mask,
+                        jax.random.PRNGKey(1)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        peak = 197e12 if model_cfg.dtype == "bfloat16" else 49e12
+        flops_ps = flops / dt
+        mfu = 100.0 * flops_ps / peak
+        log(f"cost analysis: {flops / ITERS / 1e9:.3f} GF/iter, "
+            f"{bytes_acc / ITERS / 1e6:.1f} MB-accessed/iter -> "
+            f"{flops_ps / 1e12:.2f} TFLOP/s sustained = {mfu:.2f}% of "
+            f"{'bf16' if model_cfg.dtype == 'bfloat16' else 'f32'} peak "
+            f"(HLO-bytes/s {bytes_acc / dt / 1e9:.0f} GB/s vs ~819 GB/s v5e HBM)")
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        log(f"cost analysis unavailable: {type(e).__name__}: {e}")
+
     # Reference-style loop baseline: one window, K=20, same architecture/sizes.
     from mmtraj.benchmarks.reference_loop import ReferenceStyleForecaster
 
@@ -184,6 +213,10 @@ def main() -> int:
         "unit": "window-rollouts/s/chip (K=20, N_max=64, obs=8, pred=12)",
         "vs_baseline": round(vs, 1),
         "vs_vectorized_host": round(tpu_rps / vec_rps, 1),
+        **({"tflops_per_sec": round(flops_ps / 1e12, 3),
+            "mfu_pct": round(mfu, 2),
+            "mfu_peak": ("bf16-197TF" if model_cfg.dtype == "bfloat16"
+                         else "f32-49TF")} if mfu is not None else {}),
     }))
     return 0
 

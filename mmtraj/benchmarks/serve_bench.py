@@ -189,6 +189,130 @@ def bench_serve_loop(model, params, stats, *, n: int, k: int,
     return rows
 
 
+class _PacedStream:
+    """Open-loop request source: yields request line i only once its Poisson
+    arrival time has passed (wall-paced), regardless of whether the server
+    has kept up — the defining difference from a closed loop, where a slow
+    server slows the arrival process and hides queueing delay."""
+
+    def __init__(self, lines, arrivals, t0: float):
+        self._lines = lines
+        self._arrivals = arrivals
+        self._t0 = t0
+
+    def __iter__(self):
+        for line, t_a in zip(self._lines, self._arrivals):
+            wait = self._t0 + t_a - time.monotonic()
+            if wait > 0:
+                time.sleep(wait)
+            yield line + "\n"
+
+
+class _TimingStream:
+    """Records the wall time each complete response LINE finishes writing
+    (print() may write payload and newline separately; completion = the
+    write containing the newline, matching when a client would see it)."""
+
+    def __init__(self, t0: float):
+        self._t0 = t0
+        self.times: list[float] = []
+        self._open_line = False
+
+    def write(self, s: str) -> int:
+        if s:
+            if "\n" in s:
+                self.times.append(time.monotonic() - self._t0)
+                self._open_line = False
+            else:
+                self._open_line = True
+        return len(s)
+
+    def flush(self) -> None:
+        pass
+
+
+def bench_poisson(model, params, stats, *, n: int, k: int,
+                  aggregates: list[int], n_requests: int,
+                  rates: list[float] | None,
+                  pipeline_encode: bool = True,
+                  window_ms: float = 5.0,
+                  input_encoding: str = "b64-npy") -> list[dict]:
+    """Latency under OFFERED load (VERDICT r4 #5): Poisson arrivals at rate
+    lambda are wall-paced at the server regardless of its progress, so the
+    reported p50/p95/p99 include the queueing delay a closed-loop
+    requests/s number structurally hides — in particular the aggregation
+    window's latency/throughput trade shows up here and nowhere else.
+
+    ``rates=None`` auto-calibrates per aggregate: a short closed-loop run
+    measures capacity C, then the sweep offers {0.25, 0.5, 0.75, 0.9,
+    1.1} * C.  Rows past saturation (achieved < ~95% of offered) report the
+    drain behavior honestly: latency grows with queue position, bounded
+    only by the finite request count."""
+    import base64
+    import io
+
+    from mmtraj.export import export_predictor
+    from mmtraj.serve import serve_lines
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(n_requests):
+        steps = rng.normal(size=(n - 16, model.obs_len, 2)).astype(np.float32) * 0.4
+        xy = np.cumsum(steps, axis=1)
+        if input_encoding == "b64-npy":
+            buf = io.BytesIO()
+            np.save(buf, xy, allow_pickle=False)
+            field = {"xy_b64_npy": base64.b64encode(buf.getvalue()).decode()}
+        else:
+            field = {"xy": xy.tolist()}
+        lines.append(json.dumps({**field, "seed": 4, "encoding": "b64-npy"}))
+
+    rows = []
+    for agg in aggregates:
+        path = os.path.join(tempfile.mkdtemp(prefix="mmtraj_poisson_"),
+                            "predictor.bin")
+        export_predictor(path, model, params, stats, k=k, batch=agg,
+                         n_agents=n, oversample=1)
+        # Warm compile + measure closed-loop capacity for the rate ladder.
+        warm = lines[: max(agg + 1, 8)]
+        serve_lines(path, io.StringIO("\n".join(warm)), io.StringIO(),
+                    io.StringIO(), aggregate=agg,
+                    pipeline_encode=pipeline_encode)
+        t0 = time.time()
+        cap_n = min(n_requests, 100)
+        serve_lines(path, io.StringIO("\n".join(lines[:cap_n])),
+                    io.StringIO(), io.StringIO(), aggregate=agg,
+                    window_ms=window_ms, pipeline_encode=pipeline_encode)
+        capacity = cap_n / (time.time() - t0)
+        log(f"  aggregate={agg}: closed-loop capacity ~{capacity:.1f} req/s")
+        agg_rates = (rates if rates is not None
+                     else [round(f * capacity, 1)
+                           for f in (0.25, 0.5, 0.75, 0.9, 1.1)])
+        for rate in agg_rates:
+            arrivals = np.cumsum(
+                np.random.default_rng(7).exponential(1.0 / rate, n_requests))
+            t0 = time.monotonic()
+            out_s = _TimingStream(t0)
+            served = serve_lines(
+                path, _PacedStream(lines, arrivals, t0), out_s,
+                io.StringIO(), aggregate=agg, window_ms=window_ms,
+                pipeline_encode=pipeline_encode)
+            total = time.monotonic() - t0
+            assert served == n_requests, (served, n_requests)
+            lat = np.asarray(out_s.times[:n_requests]) - arrivals[:n_requests]
+            row = {
+                "aggregate": agg, "offered_rps": rate,
+                "achieved_rps": round(n_requests / total, 1),
+                "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+                "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+                "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+                "saturated": bool(n_requests / total < 0.95 * rate),
+            }
+            log(f"  poisson {row}")
+            rows.append(row)
+    return rows
+
+
 def main(argv=None) -> int:
     from mmtraj.utils.compile_cache import enable_compile_cache
 
@@ -218,6 +342,15 @@ def main(argv=None) -> int:
                     choices=("json", "b64-npy"),
                     help="serve-loop only: send xy as JSON lists or as "
                          "base64 .npy (xy_b64_npy — the binary request path)")
+    ap.add_argument("--poisson", action="store_true",
+                    help="open-loop latency-vs-offered-load sweep (Poisson "
+                         "arrivals; p50/p95/p99 incl. queueing delay) per "
+                         "--aggregates")
+    ap.add_argument("--poisson-rates", default=None,
+                    help="comma-separated offered req/s (default: "
+                         "auto-calibrated fractions of measured capacity)")
+    ap.add_argument("--window-ms", type=float, default=5.0,
+                    help="aggregation window for --poisson/--serve-loop")
     args = ap.parse_args(argv)
 
     import jax
@@ -235,6 +368,20 @@ def main(argv=None) -> int:
     params = model.init(jax.random.PRNGKey(0))
     stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
     n = cfg.data.n_max
+
+    if args.poisson:
+        aggs = [int(x) for x in args.aggregates.split(",")]
+        n_requests = args.requests or (300 if on_tpu else 6)
+        rates = ([float(x) for x in args.poisson_rates.split(",")]
+                 if args.poisson_rates else None)
+        log(f"device: {jax.devices()[0]}  poisson open-loop N={n} K={args.k} "
+            f"requests={n_requests} aggregates={aggs} rates={rates or 'auto'}")
+        rows = bench_poisson(model, params, stats, n=n, k=args.k,
+                             aggregates=aggs, n_requests=n_requests,
+                             rates=rates, window_ms=args.window_ms,
+                             pipeline_encode=not args.no_pipeline_encode)
+        print(json.dumps(rows))
+        return 0
 
     if args.serve_loop:
         aggs = [int(x) for x in args.aggregates.split(",")]

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "only, no GAT message passing (BASELINE.json:5's "
                          "defining mechanism — this flag measures what it "
                          "buys; RESULTS.md 'Social-graph ablation')")
+    tp.add_argument("--gat-layers", type=int, default=None,
+                    help="stacked GAT message-passing rounds per frame "
+                         "(default 1 = reference parity; dense-crowd depth "
+                         "axis)")
     tp.add_argument("--num-heads", type=int, default=None,
                     help="GAT attention heads (preset 3: 1; preset 4/5: 4)")
     tp.add_argument("--adjacency-radius", type=float, default=None,
@@ -173,6 +177,15 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=("per_agent", "per_window"),
                     help="best-of-K protocol: min over K per agent (default) "
                          "or one joint k per window")
+    ep.add_argument("--dtype", default=None, choices=("float32", "bfloat16"),
+                    help="override the model compute dtype at eval time "
+                         "(bf16 matmul quality/throughput trade, RESULTS.md)")
+    ep.add_argument("--buckets", type=int, nargs="+", default=None,
+                    help="agent-capacity shape buckets (e.g. 16 32 64): each "
+                         "window runs in the smallest compiled capacity that "
+                         "holds its agents instead of full n_max padding; "
+                         "metrics are exactly the padded protocol's "
+                         "(evaluate() docstring)")
     ep.add_argument("--auto-n-max", action="store_true",
                     help="raise n_max to the densest test window so no agent "
                          "is dropped from the metric population")
@@ -205,6 +218,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "submits K, so the protocol stays best-of-K "
                          "(one row per scene instead of mean±std)")
     lp.add_argument("--sigma-scale", type=float, default=1.0)
+    lp.add_argument("--dtype", default=None, choices=("float32", "bfloat16"),
+                    help="override the model compute dtype at eval time")
     lp.add_argument("--reduction", default="per_agent",
                     choices=("per_agent", "per_window"))
     lp.add_argument("--rollout", default="sample", choices=("sample", "modes"))
@@ -318,8 +333,10 @@ def build_parser() -> argparse.ArgumentParser:
         "serve",
         help="serve an exported predictor: JSON-lines requests on stdin -> "
              "K-sample rollouts on stdout (protocol in mmtraj/serve.py)")
-    sv.add_argument("--artifact", required=True,
-                    help="StableHLO file written by `export`")
+    sv.add_argument("--artifact", required=True, nargs="+",
+                    help="StableHLO file(s) written by `export`; several = "
+                         "graduated capacities, each request routed to the "
+                         "smallest artifact that holds it (shape buckets)")
     sv.add_argument("--aggregate", type=int, default=1,
                     help="micro-batch up to N consecutive single-window "
                          "same-seed requests into one device call (serve_bench: "
@@ -470,6 +487,10 @@ def _apply_overrides(cfg, args):
         mk["social"] = args.social
     if getattr(args, "num_heads", None) is not None:
         mk["num_heads"] = args.num_heads
+    if getattr(args, "gat_layers", None) is not None:
+        mk["gat_layers"] = args.gat_layers
+    if getattr(args, "dtype", None) is not None:
+        mk["dtype"] = args.dtype
     if getattr(args, "adjacency_radius", None) is not None:
         mk["adjacency_radius"] = args.adjacency_radius
     if getattr(args, "encoder", None) is not None:
@@ -680,7 +701,8 @@ def main(argv=None) -> int:
         m = evaluate(model, params, stats, ds, cfg.train.k_samples, args.batch_size,
                      args.seed, mesh=mesh, reduction=args.reduction,
                      sigma_scale=args.sigma_scale, rollout=args.rollout,
-                     oversample=args.oversample, tta=args.tta)
+                     oversample=args.oversample, tta=args.tta,
+                     buckets=args.buckets)
         red = m["reduction"] + (", modes" if args.rollout == "modes" else "")
         print(
             f"scene={cfg.data.scene} step={step} windows={m['n_windows']} "
@@ -770,7 +792,9 @@ def main(argv=None) -> int:
                     if ds is None:
                         ds, _ = _load_eval_dataset(
                             cfg, False, "the metric population")
-                    model = Forecaster(cfg.model, cfg.data.obs_len,
+                    mcfg = (dataclasses.replace(cfg.model, dtype=args.dtype)
+                            if args.dtype else cfg.model)
+                    model = Forecaster(mcfg, cfg.data.obs_len,
                                        cfg.data.pred_len)
                     if args.ensemble:
                         members.append((model, ck.params))

@@ -44,6 +44,13 @@ class ModelConfig:
     attn_layers: int = 2  # transformer blocks when encoder="attn"
     social: bool = True
     num_heads: int = 4
+    # Stacked GAT message-passing rounds per frame step (rnn-family encoder
+    # AND decoder): each round re-attends over the residual-updated hidden
+    # states with the same frame adjacency, widening the social receptive
+    # field to gat_layers hops — the dense-crowd depth axis (VERDICT r4 #6).
+    # 1 = the reference-parity single round; extra rounds get their own
+    # parameters (init_params keys "gat_1", ...).
+    gat_layers: int = 1
     embed_dim: int = 64
     hidden_dim: int = 64
     head: str = "gmm"  # "gmm" | "deterministic"

@@ -61,6 +61,9 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         }
         if cfg.social:
             enc["gat"] = gat_init(ks[6], H, H, cfg.num_heads)
+            for li in range(1, cfg.gat_layers):
+                enc[f"gat_{li}"] = gat_init(
+                    jax.random.fold_in(ks[6], li), H, H, cfg.num_heads)
     params: Params = {
         "enc": enc,
         "dec": {
@@ -73,6 +76,9 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         params["bridge_c"] = dense_init(ks[5], H, H)
     if cfg.social:
         params["dec"]["gat"] = gat_init(ks[7], H, H, cfg.num_heads)
+        for li in range(1, cfg.gat_layers):
+            params["dec"][f"gat_{li}"] = gat_init(
+                jax.random.fold_in(ks[7], li), H, H, cfg.num_heads)
     if cfg.head == "gmm":
         params["head"] = gmm.head_init(ks[8], H, cfg.num_mixtures)
     else:
@@ -100,14 +106,22 @@ def _step(pp: Params, cfg: ModelConfig, carry: Carry, dxy_n, xy_abs, mask,
     carry = cell_apply(pp["cell"], cfg.cell, x, carry, dt)
     if cfg.social:
         adj = proximity_adjacency(xy_abs, mask, cfg.adjacency_radius)
-        g = gat_apply(
-            pp["gat"], carry.h, adj, mask, cfg.num_heads, dt,
-            use_pallas=cfg.use_pallas, attend_kernel=cfg.attend_kernel,
-            train=train,
-        )
-        if drop is not None:
-            g = g * drop["gat"]
-        carry = Carry(h=carry.h + g, c=carry.c)
+        # gat_layers stacked message-passing rounds over the SAME frame
+        # adjacency: round li re-attends over the residual-updated hidden
+        # states (receptive field = li+1 hops).  The variational dropout
+        # mask is shared across rounds (one mask per forward pass, like the
+        # scan steps).  gat_layers=1 is the reference-parity path and
+        # traces byte-identically to the pre-knob program.
+        for li in range(cfg.gat_layers):
+            g = gat_apply(
+                pp["gat" if li == 0 else f"gat_{li}"], carry.h, adj, mask,
+                cfg.num_heads, dt,
+                use_pallas=cfg.use_pallas, attend_kernel=cfg.attend_kernel,
+                train=train,
+            )
+            if drop is not None:
+                g = g * drop["gat"]
+            carry = Carry(h=carry.h + g, c=carry.c)
     return carry
 
 
@@ -247,22 +261,36 @@ class Forecaster:
             normal = normal * jnp.float32(sigma_scale)
         return gumbel, normal
 
-    def _per_window_stream(self, keys, k: int, N: int, sigma_scale: float = 1.0):
+    def _per_window_stream(self, keys, k: int, N: int, sigma_scale: float = 1.0,
+                           draw_n: int = None):
         """Per-window rollout randomness: each window's k sample streams are a
         function of ITS key alone, so sampled metrics are exactly invariant
         to batch size, batch composition, and mesh padding (VERDICT r2 weak
         #1).  keys (B,) -> (gumbel (k*B,T,N,M), normal (k*B,T,N,2)), laid out
         to match rollout_k's K-in-batch tiling (flat row kk*B + b = window b,
-        sample kk)."""
+        sample kk).
+
+        ``draw_n``: draw each window's stream at this CANONICAL agent
+        capacity (>= N) and slice to the first N slots.  Valid agents occupy
+        a contiguous prefix (data/collate.py pad_windows), so a window
+        evaluated inside a narrower shape bucket (evaluate(buckets=...))
+        consumes exactly the random values its agents would see in the full
+        padded program — which is what makes bucketed metrics equal padded
+        metrics instead of merely equally-distributed.  None = draw at N
+        (the plain protocol; bit-identical traced program to before the
+        knob existed)."""
         cfg = self.cfg
         T, M = self.pred_len, cfg.num_mixtures
         B = keys.shape[0]
+        n_draw = N if draw_n is None else int(draw_n)
+        if n_draw < N:
+            raise ValueError(f"draw_n={n_draw} must be >= N={N}")
 
         def draw(kb):
             kg, kn = jax.random.split(kb)
             return (
-                jax.random.gumbel(kg, (k, T, N, M), jnp.float32),
-                jax.random.normal(kn, (k, T, N, 2), jnp.float32),
+                jax.random.gumbel(kg, (k, T, n_draw, M), jnp.float32)[:, :, :N],
+                jax.random.normal(kn, (k, T, n_draw, 2), jnp.float32)[:, :, :N],
             )
 
         gumbel, normal = jax.vmap(draw)(keys)  # (B, k, T, N, ·)
@@ -430,7 +458,8 @@ class Forecaster:
 
     def rollout_k(self, params: Params, xy_obs, mask, stats: NormStats, key, k: int,
                   carry: Carry = None, sigma_scale: float = 1.0, keys=None,
-                  train: bool = False, remat: bool = False):
+                  train: bool = False, remat: bool = False,
+                  draw_n: int = None):
         """K sampled rollouts, encode once -> (K, B, N, Tp, 2) absolute meters.
 
         The K modes are folded into the batch dimension (tile, decode once,
@@ -449,7 +478,10 @@ class Forecaster:
         ``keys``: optional (B,) per-window keys — each window's sample
         streams then depend on its key alone (`_per_window_stream`), making
         downstream metrics exactly invariant to batch size/padding; ``key``
-        is ignored when given."""
+        is ignored when given.
+        ``draw_n``: canonical agent capacity to draw per-window randomness
+        at (see `_per_window_stream`) — the shape-bucketing hook; only
+        meaningful with ``keys``."""
         B, N = mask.shape
         if carry is None:
             carry = self.encode(params, xy_obs, mask, stats)
@@ -459,7 +491,8 @@ class Forecaster:
         mask_k = tile(mask)
         if self.cfg.head == "gmm":
             if keys is not None:
-                stream = self._per_window_stream(keys, k, N, sigma_scale)
+                stream = self._per_window_stream(keys, k, N, sigma_scale,
+                                                 draw_n=draw_n)
             else:
                 stream = self._rollout_stream(key, k * B, N, sigma_scale)
         else:
@@ -537,6 +570,10 @@ class Forecaster:
         cfg = self.cfg
         assert cfg.cell == "gru" and cfg.social and cfg.head == "gmm", (
             "fused decoder covers the flagship GRU+social+GMM configuration"
+        )
+        assert cfg.gat_layers == 1, (
+            "fused decoder implements the single-round GAT step; use the "
+            "XLA path for gat_layers > 1"
         )
         assert "bh" not in params["dec"]["cell"] and "wh_n" not in params["dec"]["cell"], (
             "fused decoder does not consume the import-only cell params "

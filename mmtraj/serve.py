@@ -149,6 +149,78 @@ class PredictServer:
         return np.asarray(out)[:, :b, :n]
 
 
+class BucketedPredictServer:
+    """Routes each request to the smallest of several exported artifacts
+    whose static (batch, n_agents) capacity holds it — the serving face of
+    occupancy-aware shape buckets (VERDICT r4 #1; eval side:
+    evaluate(buckets=...)).
+
+    A replica exports the same checkpoint at graduated capacities (e.g.
+    n_agents 16/32/64) and passes all of them to `cli serve --artifact a16
+    a32 a64`; a 6-agent request then pays a 16-wide attend chain instead of
+    the full 64^2 one.  All artifacts must agree on (k, obs_len, pred_len);
+    capacity errors are judged against the COMBINED capacity (a request is
+    rejected only if no artifact holds it).  Contract note: which artifact
+    answers is part of the request's execution shape, so a request's sample
+    stream depends on its routed capacity exactly as a batched request's
+    depends on its group composition — the protocol already makes no
+    cross-shape sampling promise (module docstring), and each response
+    still equals the same request sent straight to that artifact.
+    """
+
+    def __init__(self, artifact_paths):
+        servers = [PredictServer(p) for p in artifact_paths]
+        if not servers:
+            raise ValueError("no artifacts")
+        heads = {(s.k, s.obs_len, s.pred_len) for s in servers}
+        if len(heads) > 1:
+            raise ValueError(
+                f"artifacts disagree on (k, obs_len, pred_len): {heads}")
+        # Route order: smallest n_agents first, then smallest batch.
+        self._servers = sorted(servers,
+                               key=lambda s: (s.n_agents, s.batch))
+        self.batch = max(s.batch for s in servers)
+        self.n_agents = max(s.n_agents for s in servers)
+        self.obs_len = servers[0].obs_len
+        self.k = servers[0].k
+        self.pred_len = servers[0].pred_len
+
+    def _route(self, b: int, n: int) -> PredictServer:
+        for s in self._servers:
+            if b <= s.batch and n <= s.n_agents:
+                return s
+        raise ValueError(
+            f"request ({b},{n}) exceeds every artifact's capacity "
+            f"(combined max ({self.batch},{self.n_agents})); re-export with "
+            f"a larger --batch / n_max")
+
+    def check(self, xy, mask):
+        """Same validation contract as PredictServer.check, against the
+        combined capacity (so the routed artifact always fits)."""
+        xy = np.asarray(xy, np.float32)
+        if xy.ndim != 4 or xy.shape[-1] != 2:
+            raise ValueError(f"xy must be (B,N,{self.obs_len},2), got {xy.shape}")
+        b, n, t = xy.shape[:3]
+        if t != self.obs_len:
+            raise ValueError(f"obs_len mismatch: artifact expects "
+                             f"{self.obs_len} steps, got {t}")
+        self._route(b, n)  # raises the capacity error if nothing fits
+        if mask is None:
+            mask = np.ones((b, n), bool)
+        mask = np.asarray(mask, bool)
+        if mask.shape != (b, n):
+            raise ValueError(f"mask shape {mask.shape} != ({b},{n})")
+        return xy, mask
+
+    def predict_async(self, xy, mask=None, seed: int = 0):
+        xy, mask = self.check(xy, mask)
+        return self._route(*mask.shape).predict_async(xy, mask, seed)
+
+    def predict(self, xy, mask=None, seed: int = 0):
+        out, (b, n) = self.predict_async(xy, mask, seed)
+        return np.asarray(out)[:, :b, :n]
+
+
 def _parse_request(line: str, server: PredictServer) -> dict:
     """One JSON line -> validated request dict (raises on anything wrong)."""
     req = json.loads(line)
@@ -221,8 +293,19 @@ def serve_lines(artifact_path: str, in_stream: IO[str], out_stream: IO[str],
     overlaps the next device call.  Responses stay in request order (the
     FIFO is the order) and bytes are identical to the serial path; the
     flag exists only as an escape hatch for debugging.
+
+    ``artifact_path`` may be a list of artifacts exported at graduated
+    capacities — requests then route to the smallest one that fits
+    (BucketedPredictServer).  Aggregated groups route by the group's
+    (size, widest member), preserving the client-side-batching equivalence
+    against the routed artifact.
     """
-    server = PredictServer(artifact_path)
+    if isinstance(artifact_path, (list, tuple)) and len(artifact_path) > 1:
+        server = BucketedPredictServer(artifact_path)
+    else:
+        if isinstance(artifact_path, (list, tuple)):
+            artifact_path = artifact_path[0]
+        server = PredictServer(artifact_path)
     agg = max(1, min(int(aggregate), server.batch))
     print(f"serving {artifact_path}: capacity batch={server.batch} "
           f"n_agents={server.n_agents} obs_len={server.obs_len} "

@@ -344,3 +344,64 @@ def test_dead_writer_does_not_deadlock_dispatch_loop(artifact, rng):
     with pytest.raises(BrokenPipeError):
         serve_lines(artifact, io.StringIO(requests), _BrokenStream(),
                     io.StringIO())
+
+
+def test_bucketed_server_routes_to_smallest_fit(artifact, rng, tmp_path):
+    """Shape-bucketed serving (VERDICT r4 #1): requests route to the
+    smallest artifact capacity that holds them; capacity errors are judged
+    against the combined capacity; each response equals sending the same
+    request straight to the routed artifact."""
+    from mmtraj.config import ModelConfig
+    from mmtraj.serve import BucketedPredictServer
+
+    cfg = ModelConfig(num_heads=2, embed_dim=8, hidden_dim=16, num_mixtures=2)
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    small = str(tmp_path / "small.stablehlo")
+    export_predictor(small, model, params, stats, k=K, batch=2,
+                     n_agents=4, platform="cpu")
+    bucketed = BucketedPredictServer([artifact, small])
+    assert (bucketed.batch, bucketed.n_agents) == (B_CAP, N_CAP)
+
+    # (2,3) fits the small artifact -> must be answered by it, bit-exact.
+    xy = _walk(rng, 2, 3)
+    got = bucketed.predict(xy, seed=5)
+    want = PredictServer(small).predict(xy, seed=5)
+    np.testing.assert_array_equal(got, want)
+
+    # (2,6) only fits the big one.
+    xy6 = _walk(rng, 2, 6)
+    np.testing.assert_array_equal(bucketed.predict(xy6, seed=5),
+                                  PredictServer(artifact).predict(xy6, seed=5))
+
+    # Over COMBINED capacity -> error mentions the combined max.
+    with pytest.raises(ValueError, match="every artifact"):
+        bucketed.predict(_walk(rng, 2, N_CAP + 1))
+
+    # serve_lines accepts the artifact list and serves both shapes.
+    reqs = "\n".join([
+        json.dumps({"xy": _walk(rng, 1, 3)[0].tolist(), "seed": 1}),
+        json.dumps({"xy": _walk(rng, 1, 7)[0].tolist(), "seed": 1}),
+    ])
+    out = io.StringIO()
+    assert serve_lines([artifact, small], io.StringIO(reqs), out,
+                       io.StringIO()) == 2
+    lines = [json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert np.asarray(lines[0]["pred"]).shape == (K, 3, 12, 2)
+    assert np.asarray(lines[1]["pred"]).shape == (K, 7, 12, 2)
+
+
+def test_bucketed_server_rejects_mismatched_heads(artifact, tmp_path, rng):
+    from mmtraj.config import ModelConfig
+    from mmtraj.serve import BucketedPredictServer
+
+    cfg = ModelConfig(num_heads=2, embed_dim=8, hidden_dim=16, num_mixtures=2)
+    model = Forecaster(cfg, 8, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    stats = NormStats(np.zeros(2, np.float32), np.full(2, 0.4, np.float32))
+    other_k = str(tmp_path / "otherk.stablehlo")
+    export_predictor(other_k, model, params, stats, k=K + 1, batch=2,
+                     n_agents=4, platform="cpu")
+    with pytest.raises(ValueError, match="disagree"):
+        BucketedPredictServer([artifact, other_k])
