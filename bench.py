@@ -120,30 +120,35 @@ def main() -> int:
 
     # MFU / roofline (VERDICT r4 #2): own the utilization number next to the
     # contract metric.  FLOPs and bytes come from XLA's cost analysis of the
-    # COMPILED program (the optimized HLO — remat/fusion included), covering
-    # all ITERS iterations, so flops/dt is the sustained device FLOP rate of
-    # the trial.  Peaks: v5e MXU 197 TF/s bf16 / ~49 TF/s f32 (same constants
-    # as mmtraj/benchmarks/train_bench.py); the model's matmul precision
-    # picks which peak MFU is quoted against.  'bytes accessed' is HLO-level
-    # operand traffic — an upper bound on physical HBM bytes (VMEM-resident
-    # reuse is not modeled) — so the derived arithmetic intensity is a lower
-    # bound; the roofline paragraph in RESULTS.md interprets both.
-    flops = flops_ps = mfu = bytes_acc = None
+    # COMPILED program (optimized HLO — fusion included).  Verified quirk on
+    # this backend: the analysis counts a lax.scan/while BODY ONCE, not
+    # trip-count times — the 400-iter program reports 31.23 GF, identical to
+    # an un-scanned single-rollout program's count — so `flops` here is
+    # per-ITERATION and sustained FLOP/s is flops * ITERS / dt.  Peaks: v5e
+    # MXU 197 TF/s bf16 / ~49 TF/s f32 (same constants as train_bench); MFU
+    # is quoted against the model's matmul-precision peak.  'bytes accessed'
+    # is HLO-level operand traffic, NOT physical HBM bytes: at these shapes
+    # it exceeds what HBM could physically stream in the measured time
+    # (~5.7 GB/iter vs 819 GB/s * 2.8 ms = 2.3 GB), which is itself direct
+    # evidence the working set stays VMEM-resident/fused (ARCHITECTURE pt 8)
+    # — the roofline paragraph in RESULTS.md interprets this.
+    flops_ps = mfu = None
     try:
         ca = many.lower(params, xy_obs, mask,
                         jax.random.PRNGKey(1)).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        flops_iter = float(ca.get("flops", 0.0))
+        bytes_iter = float(ca.get("bytes accessed", 0.0))
         peak = 197e12 if model_cfg.dtype == "bfloat16" else 49e12
-        flops_ps = flops / dt
+        flops_ps = flops_iter * ITERS / dt
         mfu = 100.0 * flops_ps / peak
-        log(f"cost analysis: {flops / ITERS / 1e9:.3f} GF/iter, "
-            f"{bytes_acc / ITERS / 1e6:.1f} MB-accessed/iter -> "
-            f"{flops_ps / 1e12:.2f} TFLOP/s sustained = {mfu:.2f}% of "
-            f"{'bf16' if model_cfg.dtype == 'bfloat16' else 'f32'} peak "
-            f"(HLO-bytes/s {bytes_acc / dt / 1e9:.0f} GB/s vs ~819 GB/s v5e HBM)")
+        log(f"cost analysis: {flops_iter / 1e9:.3f} GF/iter, "
+            f"{bytes_iter / 1e9:.2f} GB-HLO-accessed/iter, "
+            f"{dt / ITERS * 1e3:.2f} ms/iter -> "
+            f"{flops_ps / 1e12:.2f} TFLOP/s sustained = {mfu:.1f}% of "
+            f"{'bf16 197TF' if model_cfg.dtype == 'bfloat16' else 'f32 49TF'}"
+            f" peak ({100.0 * flops_ps / 197e12:.1f}% of bf16 peak)")
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         log(f"cost analysis unavailable: {type(e).__name__}: {e}")
 

@@ -202,8 +202,15 @@ def run_evaluate_wall(k: int = 20, n_windows: int = 1000) -> dict:
                          "min_ade": m1["min_ade"]}
             log(f"  {wl}/{mode}: {dt:.2f}s ({n_windows / dt:,.0f} windows/s) "
                 f"ade={m1['min_ade']:.6f}")
-        assert res["padded"]["min_ade"] == res["bucketed"]["min_ade"], \
-            "bucketed metrics must equal padded metrics"
+        # Metric parity: bit-equal on CPU (pinned by test) and measured
+        # bit-equal on TPU at small shapes; at the flagship N=16/32/64
+        # programs the per-bucket physical tilings drift ~1 f32 ulp (the
+        # same caveat _eval_sums documents for batch-size changes on TPU),
+        # so the gate here is a tight tolerance and the actual delta is
+        # recorded in the output.
+        d_ade = abs(res["padded"]["min_ade"] - res["bucketed"]["min_ade"])
+        assert d_ade < 1e-5, f"bucketed ADE {d_ade} off padded — not a tiling ulp"
+        res["ade_delta"] = d_ade
         res["speedup"] = (res["bucketed"]["windows_per_sec"]
                           / res["padded"]["windows_per_sec"])
         res["mean_agents"] = float(counts.mean())
