@@ -140,15 +140,23 @@ def main() -> int:
             ca = ca[0]
         flops_iter = float(ca.get("flops", 0.0))
         bytes_iter = float(ca.get("bytes accessed", 0.0))
-        peak = 197e12 if model_cfg.dtype == "bfloat16" else 49e12
+        # Peak = 197 TF/s bf16 REGARDLESS of model dtype: JAX's DEFAULT
+        # matmul precision on TPU executes f32 matmuls as single bf16 MXU
+        # passes, so bf16 is the precision actually running.  Verified
+        # empirically on this program (round 5): forcing
+        # jax_default_matmul_precision="highest" (true f32, multi-pass)
+        # halves throughput (176k -> 89k w/s) and shifts the result at the
+        # 1e-3 level, while dtype="bfloat16" is bit-identical and
+        # throughput-neutral vs default-f32 — both facts only consistent
+        # with default-f32 already being bf16-pass matmuls.
         flops_ps = flops_iter * ITERS / dt
-        mfu = 100.0 * flops_ps / peak
+        mfu = 100.0 * flops_ps / 197e12
         log(f"cost analysis: {flops_iter / 1e9:.3f} GF/iter, "
             f"{bytes_iter / 1e9:.2f} GB-HLO-accessed/iter, "
             f"{dt / ITERS * 1e3:.2f} ms/iter -> "
-            f"{flops_ps / 1e12:.2f} TFLOP/s sustained = {mfu:.1f}% of "
-            f"{'bf16 197TF' if model_cfg.dtype == 'bfloat16' else 'f32 49TF'}"
-            f" peak ({100.0 * flops_ps / 197e12:.1f}% of bf16 peak)")
+            f"{flops_ps / 1e12:.2f} TFLOP/s sustained = {mfu:.1f}% of the "
+            f"197 TF/s bf16 MXU peak (the executing matmul precision at "
+            f"jax default; see comment)")
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         log(f"cost analysis unavailable: {type(e).__name__}: {e}")
 
@@ -220,8 +228,7 @@ def main() -> int:
         "vs_vectorized_host": round(tpu_rps / vec_rps, 1),
         **({"tflops_per_sec": round(flops_ps / 1e12, 3),
             "mfu_pct": round(mfu, 2),
-            "mfu_peak": ("bf16-197TF" if model_cfg.dtype == "bfloat16"
-                         else "f32-49TF")} if mfu is not None else {}),
+            "mfu_peak": "bf16-197TF"} if mfu is not None else {}),
     }))
     return 0
 

@@ -37,8 +37,10 @@ CELLS = [
 
 
 def eval_fold(tree, seed, oversample):
-    ck = ckpt_lib.load(os.path.join(tree, f"s{seed}", "univ",
-                                    "checkpoint_ema.npz"))
+    path = os.path.join(tree, f"s{seed}", "checkpoint_ema.npz")
+    if not os.path.exists(path):  # single-seed runs write a flat tree
+        path = os.path.join(tree, "checkpoint_ema.npz")
+    ck = ckpt_lib.load(path)
     cfg = ck.config
     key = (cfg.data.obs_len, cfg.data.pred_len, cfg.data.n_max)
     if key not in _ds_cache:

@@ -220,6 +220,8 @@ def build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--sigma-scale", type=float, default=1.0)
     lp.add_argument("--dtype", default=None, choices=("float32", "bfloat16"),
                     help="override the model compute dtype at eval time")
+    lp.add_argument("--buckets", type=int, nargs="+", default=None,
+                    help="agent-capacity shape buckets (see eval --buckets)")
     lp.add_argument("--reduction", default="per_agent",
                     choices=("per_agent", "per_window"))
     lp.add_argument("--rollout", default="sample", choices=("sample", "modes"))
@@ -750,6 +752,10 @@ def main(argv=None) -> int:
 
         if args.ensemble and args.rollout != "sample":
             parser.error("--ensemble requires sampled rollouts")
+        if args.buckets and len(trees) > 1:
+            parser.error("--buckets is not supported on the heterogeneous "
+                         "(multi-tree) ensemble path yet — evaluate_mixed "
+                         "has no bucket router")
 
         def tree_seeds(tree):
             # train --scene all writes {out}/{scene} for one seed and
@@ -803,7 +809,8 @@ def main(argv=None) -> int:
                                  cfg.train.k_samples, seed=args.seed,
                                  reduction=args.reduction, rollout=args.rollout,
                                  sigma_scale=args.sigma_scale,
-                                 oversample=args.oversample, tta=args.tta)
+                                 oversample=args.oversample, tta=args.tta,
+                                 buckets=args.buckets)
                     per_scene.setdefault(scene, []).append(
                         (m["min_ade"], m["min_fde"])
                     )
@@ -821,7 +828,8 @@ def main(argv=None) -> int:
                                  cfg.train.k_samples, seed=args.seed,
                                  reduction=args.reduction, rollout=args.rollout,
                                  sigma_scale=args.sigma_scale,
-                                 oversample=args.oversample, tta=args.tta)
+                                 oversample=args.oversample, tta=args.tta,
+                                 buckets=args.buckets)
                 else:
                     # Heterogeneous pool (e.g. rnn + attn trees): one program
                     # per distinct model, shared candidate pool + selection.
